@@ -1,0 +1,206 @@
+"""Configuration system for the TPU-native MSF-LOAM engine.
+
+Surfaces every tunable that the reference hard-codes (see SURVEY.md §2) plus
+the reference's own three config layers (gflags / proto-JSON `MsfLoamConfig`
+at ``/root/reference/proto/config.proto:7-20`` / ROS params at
+``msf_loam_node.cc:434``, ``laser_mapping.cc:58-68``). Dataclasses are
+hashable+frozen so they can be passed as static args to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Scan registration / feature extraction (reference msf_loam_node.cc)."""
+
+    max_scan_lines: int = 128          # kMaxScanNum (msf_loam_node.cc:79)
+    scan_period: float = 0.1           # kScanPeriod (msf_loam_node.cc:80)
+    min_range: float = 0.3             # ROS param minimum_range (msf_loam_node.cc:434)
+    num_sectors: int = 6               # sectors per ring (msf_loam_node.cc:255)
+    sharp_per_sector: int = 2          # (msf_loam_node.cc:277)
+    less_sharp_per_sector: int = 20    # (msf_loam_node.cc:281)
+    flat_per_sector: int = 4           # (msf_loam_node.cc:317)
+    curvature_threshold: float = 0.1   # sharp >0.1 / flat <0.1 (msf_loam_node.cc:275,312)
+    neighbor_suppress: int = 5         # +/-5 neighbors (msf_loam_node.cc:290-303)
+    neighbor_gap_sq: float = 0.05      # suppression break gap^2 (msf_loam_node.cc:293)
+    edge_margin: int = 5               # skip first/last 5 pts per ring (msf_loam_node.cc:192-194)
+    less_flat_leaf: float = 0.2        # VoxelGrid leaf (msf_loam_node.cc:121)
+    # --- static-shape budgets for the TPU arrays ---
+    max_points_per_ring: int = 2048    # ring buffer width (VLP-16 ~1800/rev @10Hz)
+    max_less_flat: int = 8192          # cap on downsampled less-flat points
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan matching (reference odometry_scan_matcher.cc)."""
+
+    dist_sq_threshold: float = 25.0    # kDistanceSqThreshold (odometry_scan_matcher.cc:16)
+    nearby_scan: float = 2.5           # kNearByScan ring window (odometry_scan_matcher.cc:17)
+    outer_rounds: int = 2              # kOptimalNum (odometry_scan_matcher.cc:18)
+    gn_iterations: int = 6             # ceres max_num_iterations (odometry_scan_matcher.cc:271)
+    huber_delta: float = 0.1           # HuberLoss(0.1) (odometry_scan_matcher.cc:67)
+    min_correspondences: int = 10      # (odometry_scan_matcher.cc:262)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map matching + map maintenance (laser_mapping.cc,
+    mapping_scan_matcher.cc, hybrid_grid.cc)."""
+
+    line_resolution: float = 0.2       # mapping_line_resolution (laser_mapping.cc:60)
+    plane_resolution: float = 0.4      # mapping_plane_resolution (laser_mapping.cc:62)
+    knn: int = 5                       # 5-NN (mapping_scan_matcher.cc:125,195)
+    knn_dist_sq_max: float = 1.0       # gate dist^2[4] < 1.0 (mapping_scan_matcher.cc:128,198)
+    line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
+    plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
+    outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)
+    gn_iterations: int = 6             # (mapping_scan_matcher.cc:48)
+    huber_delta: float = 0.1           # (mapping_scan_matcher.cc:77)
+    min_map_corner: int = 10           # skip-if-small gates (laser_mapping.cc:284)
+    min_map_surf: int = 50             # (laser_mapping.cc:285)
+    query_radius: float = 60.0         # kDist surround horizon (hybrid_grid.cc:532)
+    # --- TPU hash-grid map parameters (replaces Cartographer HybridGrid) ---
+    map_cell_size: float = 2.0         # spatial-hash cell edge (reference uses 3.0 m clouds)
+    map_table_size: int = 1 << 15      # hash table slots per feature map
+    map_cell_capacity: int = 32        # point slab per cell
+    max_query_points: int = 4096       # static query batch per feature type
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise + preintegration (parameters.h, laser_mapping.cc:36-38,
+    proto config `imu_intrinsic_parameters`)."""
+
+    acc_n: float = 0.017
+    acc_w: float = 0.007
+    gyr_n: float = 0.0033
+    gyr_w: float = 0.0012
+    update_rate: float = 400.0
+    gravity: Tuple[float, float, float] = (0.0, 0.0, 9.81)
+    warmup_msgs: int = 100             # lidar gate until >100 imu msgs (msf_loam_node.cc:384)
+    init_frames: int = 50              # kInitByFirstScanNums (estimator.h:57)
+    init_reject_frac: float = 0.15     # reject worst 15% (estimator.cc:102)
+    max_lidar_imu_offset: float = 0.01 # error gate (estimator.cc:125)
+    sqrt_info_scale: float = 0.001     # imu_factor.cc:43
+    max_imu_samples: int = 64          # static preintegration window length
+    imu_factor_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """GPS fusion pose graph (gps_fusion.cc)."""
+
+    gps_sigma_t: float = 0.01          # GpsFactor st (gps_fusion.cc:67)
+    rel_sigma_r: float = 0.01          # RelativePoseFactor sr (gps_fusion.cc:77)
+    rel_sigma_t: float = 0.1           # RelativePoseFactor st (gps_fusion.cc:77)
+    huber_delta: float = 1.0           # HuberLoss(1.0) (gps_fusion.cc:48)
+    iterations: int = 10               # max_num_iterations (gps_fusion.cc:45)
+    sim_gps_period: int = 10           # every 10th gt odom -> 1 Hz (laser_mapping.cc:456)
+    sim_gps_noise: float = 0.05        # U(-5,5) cm (laser_mapping.cc:458)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtrinsicConfig:
+    """lidar2imu extrinsic + hand-eye calibration (initial_ex_rotation.cc)."""
+
+    lidar2imu_t: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    lidar2imu_q: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # wxyz
+    calib_window: int = 10             # kWindowSize (initial_ex_rotation.cc:10)
+    calib_sigma_gate: float = 0.25     # σ1 > 0.25 accept (initial_ex_rotation.cc:63)
+    calib_huber_deg: float = 5.0       # Huber weight knee (initial_ex_rotation.cc:37)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host pipeline / execution knobs."""
+
+    offline_mode: bool = True          # -is_offline_mode analog
+    drop_backlog: bool = False         # real-time load shedding (laser_mapping.cc:159-165)
+    save_map: bool = True              # save_pointcloud_map proto field
+    map_output: str = "msf_loam_cloud.ply"
+    trajectory_output: str = "trajectory.npz"  # pbstream analog
+    dtype: str = "float32"
+    profile: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MsfLoamConfig:
+    """Top-level config (proto MsfLoamConfig analog, fully surfaced)."""
+
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
+    posegraph: PoseGraphConfig = dataclasses.field(default_factory=PoseGraphConfig)
+    extrinsic: ExtrinsicConfig = dataclasses.field(default_factory=ExtrinsicConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    @staticmethod
+    def from_json(path: str) -> "MsfLoamConfig":
+        """Load a config from JSON. Accepts both this framework's nested
+        layout and the reference's proto-JSON schema
+        (e.g. ``/root/reference/config/lio-sam-config2.json``)."""
+        with open(path) as f:
+            raw = json.load(f)
+        return MsfLoamConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "MsfLoamConfig":
+        cfg = MsfLoamConfig()
+        # Reference proto-JSON schema compatibility.
+        if "imuIntrinsicParameters" in raw or "imu_intrinsic_parameters" in raw:
+            imu_raw = raw.get("imuIntrinsicParameters", raw.get("imu_intrinsic_parameters", {}))
+            g_raw = raw.get("gravityVector", raw.get("gravity_vector", {}))
+            ext_raw = raw.get(
+                "lidar2imuExtrinsicParameters", raw.get("lidar2imu_extrinsic_parameters", {})
+            )
+            imu = dataclasses.replace(
+                cfg.imu,
+                acc_n=float(imu_raw.get("accelerometerNoiseDensity",
+                                        imu_raw.get("accelerometer_noise_density", cfg.imu.acc_n))),
+                acc_w=float(imu_raw.get("accelerometerRandomWalk",
+                                        imu_raw.get("accelerometer_random_walk", cfg.imu.acc_w))),
+                gyr_n=float(imu_raw.get("gyroscopeNoiseDensity",
+                                        imu_raw.get("gyroscope_noise_density", cfg.imu.gyr_n))),
+                gyr_w=float(imu_raw.get("gyroscopeRandomWalk",
+                                        imu_raw.get("gyroscope_random_walk", cfg.imu.gyr_w))),
+                update_rate=float(imu_raw.get("updateRate",
+                                              imu_raw.get("update_rate", cfg.imu.update_rate))),
+                gravity=(
+                    float(g_raw.get("x", 0.0)),
+                    float(g_raw.get("y", 0.0)),
+                    float(g_raw.get("z", 9.81)),
+                ),
+            )
+            t_raw = ext_raw.get("translation", {})
+            q_raw = ext_raw.get("rotation", {})
+            ext = dataclasses.replace(
+                cfg.extrinsic,
+                lidar2imu_t=(float(t_raw.get("x", 0.0)), float(t_raw.get("y", 0.0)),
+                             float(t_raw.get("z", 0.0))),
+                lidar2imu_q=(float(q_raw.get("w", 1.0)), float(q_raw.get("x", 0.0)),
+                             float(q_raw.get("y", 0.0)), float(q_raw.get("z", 0.0))),
+            )
+            runtime = dataclasses.replace(
+                cfg.runtime,
+                save_map=bool(raw.get("savePointcloudMap",
+                                      raw.get("save_pointcloud_map", cfg.runtime.save_map))),
+            )
+            return dataclasses.replace(cfg, imu=imu, extrinsic=ext, runtime=runtime)
+
+        # Native nested layout: {"features": {...}, "odometry": {...}, ...}
+        sections = {}
+        for field in dataclasses.fields(MsfLoamConfig):
+            if field.name in raw:
+                sub_cls = field.default_factory  # type: ignore[misc]
+                sub_raw = dict(raw[field.name])
+                for k, v in sub_raw.items():
+                    if isinstance(v, list):
+                        sub_raw[k] = tuple(v)
+                sections[field.name] = dataclasses.replace(sub_cls(), **sub_raw)
+        return dataclasses.replace(cfg, **sections)

@@ -1,0 +1,285 @@
+"""Batched LOAM feature extraction on TPU.
+
+TPU-native redesign of the reference's scan registration stage
+(``/root/reference/src/msf_loam_node.cc:160-378``):
+
+* curvature = squared norm of an 11-tap [1,1,1,1,1,-10,1,1,1,1,1] filter per
+  axis (``msf_loam_node.cc:206-240``) — here a stack of shifted adds the XLA
+  fuser turns into one vectorized pass;
+* per-(ring, sector) greedy max/min-curvature picks with ±5-neighbor
+  suppression (``msf_loam_node.cc:251-344``) — here a short ``lax.scan``
+  over pick rounds where every (ring, sector) picks in parallel and the
+  suppression masks are merged each round. The serial pick order of the
+  reference is deliberately NOT reproduced point-for-point; equivalence is
+  held at trajectory level (SURVEY.md §7.3).
+
+Input is a ``RingImage``: per-ring, azimuth-ordered, front-packed rows
+(the tensorized analog of the reference's per-ring vectors).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msf_loam_tpu.config import FeatureConfig
+from msf_loam_tpu.core.pointcloud import PointBatch, RingImage, ScanFeatures
+from msf_loam_tpu.ops.voxel import voxel_downsample_masked
+
+Array = jax.Array
+
+_BIG = jnp.float32(1e18)
+
+
+def compute_curvature(xyz: Array, mask: Array, cfg: FeatureConfig) -> Tuple[Array, Array]:
+    """11-point curvature per ring row.
+
+    Args:
+      xyz:  (R, W, 3) front-packed ring image.
+      mask: (R, W) validity.
+
+    Returns:
+      curvature: (R, W) float32 — sum of squared per-axis diffs.
+      eligible:  (R, W) bool — margin-respecting positions (index in
+                 [margin, n_valid - margin - 1]), matching the reference's
+                 concatenation bounds (msf_loam_node.cc:192-194).
+    """
+    m = cfg.edge_margin
+    # net center weight after the 0-shift below contributes +1: -(2m+1)+1 = -2m
+    acc = -(2 * m + 1) * xyz
+    for s in range(-m, m + 1):
+        acc = acc + jnp.roll(xyz, -s, axis=1)
+    curv = jnp.sum(acc * acc, axis=-1)
+
+    n_valid = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True)  # (R, 1)
+    idx = jnp.arange(xyz.shape[1])[None, :]
+    eligible = (idx >= m) & (idx <= n_valid - m - 1) & mask
+    return curv, eligible
+
+
+def assign_sectors(eligible: Array, n_valid: Array, cfg: FeatureConfig) -> Array:
+    """Sector id per position: [margin, n-margin-1] split into equal sixths
+    (msf_loam_node.cc:255-259). Returns (R, W) int32 in [0, S-1], with
+    ineligible positions mapped to -1."""
+    m = cfg.edge_margin
+    span = jnp.maximum(n_valid[:, None] - 2 * m, 1)  # ep - sp + 1
+    idx = jnp.arange(eligible.shape[1])[None, :]
+    sector = ((idx - m) * cfg.num_sectors) // span
+    sector = jnp.clip(sector, 0, cfg.num_sectors - 1)
+    return jnp.where(eligible, sector, -1).astype(jnp.int32)
+
+
+def _gap_sq(xyz: Array) -> Array:
+    """g[i] = ||x[i+1] - x[i]||^2 along the ring (last column is huge)."""
+    d = jnp.roll(xyz, -1, axis=1) - xyz
+    g = jnp.sum(d * d, axis=-1)
+    return g.at[:, -1].set(_BIG)
+
+
+def _suppression_offsets(picked_w: Array, gap: Array, n_suppress: int,
+                         gap_sq_max: float) -> Array:
+    """Given one-hot pick positions (R, W), compute the ±n_suppress
+    suppression mask with the gap²-break rule (msf_loam_node.cc:288-303).
+
+    A forward neighbor at offset l (1..n) is suppressed iff
+    gap[ind], .., gap[ind+l-1] are all <= gap_sq_max; symmetric backward.
+    """
+    ok = gap <= gap_sq_max  # (R, W) — link i <-> i+1 is "continuous"
+    suppress = jnp.zeros_like(picked_w, dtype=bool)
+    # forward chain
+    chain = picked_w
+    for l in range(1, n_suppress + 1):
+        chain = chain & ok  # link from current position to the next survives
+        chain = jnp.roll(chain, 1, axis=1).at[:, 0].set(False)
+        suppress = suppress | chain
+    # backward chain: link from i-1 to i is gap[i-1]
+    chain = picked_w
+    for l in range(1, n_suppress + 1):
+        chain = chain & jnp.roll(ok, 1, axis=1).at[:, 0].set(False)
+        chain = jnp.roll(chain, -1, axis=1).at[:, -1].set(False)
+        suppress = suppress | chain
+    return suppress
+
+
+def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
+                 cfg: FeatureConfig, n_rounds: int, maximize: bool,
+                 curv_gate):
+    """Run ``n_rounds`` of parallel per-(ring,sector) picks.
+
+    Each round every sector takes its best remaining candidate; then all
+    picks' ±neighbor suppressions are merged into the shared per-ring mask
+    (the TPU replacement for the serial greedy pick).
+
+    Returns:
+      pick_w:    (n_rounds, R, S) int32 — W-index of each pick (or -1).
+      suppressed:(R, W) bool — final suppression mask (includes the picks).
+    """
+    R, W = curv.shape
+    S = cfg.num_sectors
+    sec_onehot = sector[:, :, None] == jnp.arange(S)[None, None, :]  # (R, W, S)
+
+    score = curv if maximize else -curv
+    score = jnp.where(base_mask & curv_gate(curv), score, -_BIG)
+
+    def round_fn(suppressed, _):
+        avail = jnp.where(suppressed, -_BIG, score)  # (R, W)
+        per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)  # (R, W, S)
+        best_w = jnp.argmax(per_sec, axis=1)  # (R, S)
+        best_v = jnp.take_along_axis(per_sec, best_w[:, None, :], axis=1)[:, 0, :]
+        valid = best_v > -_BIG * 0.5  # (R, S)
+        pick = jnp.where(valid, best_w, -1).astype(jnp.int32)
+        picked_w = jnp.zeros((R, W), bool)
+        # scatter the (<= S) picks of each ring into a one-hot row mask
+        picked_w = picked_w.at[
+            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
+        ].max(valid.reshape(-1), mode="drop")
+        new_sup = _suppression_offsets(picked_w, gap, cfg.neighbor_suppress,
+                                       cfg.neighbor_gap_sq)
+        return suppressed | picked_w | new_sup, pick
+
+    suppressed0 = jnp.zeros((R, W), bool)
+    suppressed, picks = jax.lax.scan(round_fn, suppressed0, None, length=n_rounds)
+    return picks, suppressed
+
+
+def _gather_picks(ring_image: RingImage, picks: Array, n_keep: int,
+                  capacity: int) -> PointBatch:
+    """Gather pick rounds 0..n_keep-1 into a flat PointBatch of fixed size.
+
+    picks: (n_rounds, R, S) W-indices, -1 for no pick.
+    """
+    R = picks.shape[1]
+    sel = picks[:n_keep]                       # (n_keep, R, S)
+    w_idx = jnp.transpose(sel, (1, 0, 2)).reshape(R, -1)  # (R, n_keep*S)
+    valid = w_idx >= 0
+    w_safe = jnp.maximum(w_idx, 0)
+    gather = lambda a: jnp.take_along_axis(a, w_safe, axis=1)
+    xyz = jnp.take_along_axis(ring_image.xyz, w_safe[..., None], axis=1)
+    rel = gather(ring_image.rel_time)
+    ring = jnp.broadcast_to(jnp.arange(R)[:, None], w_idx.shape)
+    pb = PointBatch(
+        xyz=xyz.reshape(-1, 3),
+        rel_time=rel.reshape(-1),
+        ring=ring.reshape(-1).astype(jnp.int32),
+        mask=valid.reshape(-1),
+    )
+    return _pad_or_trim(pb, capacity)
+
+
+def _pad_or_trim(pb: PointBatch, capacity: int) -> PointBatch:
+    n = pb.xyz.shape[0]
+    if n == capacity:
+        return pb
+    if n > capacity:
+        # keep valid points first (stable partition by mask)
+        order = jnp.argsort(~pb.mask, stable=True)
+        take = order[:capacity]
+        return PointBatch(pb.xyz[take], pb.rel_time[take], pb.ring[take], pb.mask[take])
+    pad = capacity - n
+    return PointBatch(
+        xyz=jnp.pad(pb.xyz, ((0, pad), (0, 0))),
+        rel_time=jnp.pad(pb.rel_time, (0, pad)),
+        ring=jnp.pad(pb.ring, (0, pad)),
+        mask=jnp.pad(pb.mask, (0, pad)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_features(ring_image: RingImage, scan_time: Array,
+                     cfg: FeatureConfig) -> ScanFeatures:
+    """Full feature extraction: RingImage -> five feature clouds.
+
+    Mirrors the selection budget of the reference (2 sharp / 20 less-sharp /
+    4 flat per ring-sector; everything flat-or-unlabeled, voxel-downsampled,
+    as less-flat)."""
+    R, W, _ = ring_image.xyz.shape
+    S = cfg.num_sectors
+
+    curv, eligible = compute_curvature(ring_image.xyz, ring_image.mask, cfg)
+    n_valid = jnp.sum(ring_image.mask.astype(jnp.int32), axis=1)
+    sector = assign_sectors(eligible, n_valid, cfg)
+    gap = _gap_sq(ring_image.xyz)
+
+    # corner picks (max curvature, > threshold)
+    corner_picks, suppressed = _pick_rounds(
+        curv, eligible, sector, gap, cfg,
+        n_rounds=cfg.less_sharp_per_sector, maximize=True,
+        curv_gate=lambda c: c > cfg.curvature_threshold,
+    )
+    # flat picks (min curvature, < threshold), respecting corner suppression
+    flat_score = jnp.where(eligible & (curv < cfg.curvature_threshold) & ~suppressed,
+                           -curv, -_BIG)
+    sec_onehot = sector[:, :, None] == jnp.arange(S)[None, None, :]
+
+    def flat_round(sup, _):
+        avail = jnp.where(sup, -_BIG, flat_score)
+        per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)
+        best_w = jnp.argmax(per_sec, axis=1)
+        best_v = jnp.take_along_axis(per_sec, best_w[:, None, :], axis=1)[:, 0, :]
+        valid = best_v > -_BIG * 0.5
+        pick = jnp.where(valid, best_w, -1).astype(jnp.int32)
+        picked_w = jnp.zeros((R, W), bool).at[
+            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
+        ].max(valid.reshape(-1), mode="drop")
+        new_sup = _suppression_offsets(picked_w, gap, cfg.neighbor_suppress,
+                                       cfg.neighbor_gap_sq)
+        return sup | picked_w | new_sup, pick
+
+    flat_sup, flat_picks = jax.lax.scan(
+        flat_round, suppressed, None, length=cfg.flat_per_sector)
+
+    sharp = _gather_picks(ring_image, corner_picks, cfg.sharp_per_sector,
+                          R * S * cfg.sharp_per_sector)
+    less_sharp = _gather_picks(ring_image, corner_picks, cfg.less_sharp_per_sector,
+                               R * S * cfg.less_sharp_per_sector)
+    flat = _gather_picks(ring_image, flat_picks, cfg.flat_per_sector,
+                         R * S * cfg.flat_per_sector)
+
+    # less-flat: everything eligible that is not a corner pick / corner
+    # neighbor (reference: labels FLAT or UNKNOWN, msf_loam_node.cc:339-344),
+    # voxel-downsampled at less_flat_leaf.
+    corner_label = jnp.zeros((R, W), bool)
+    for k in range(corner_picks.shape[0]):
+        pick = corner_picks[k]
+        valid = pick >= 0
+        corner_label = corner_label.at[
+            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
+        ].max(valid.reshape(-1), mode="drop")
+    # corner-neighbor suppressions are labeled P_LESS_SHARP too -> excluded.
+    # `suppressed` (post corner rounds) == picks + their labeled neighbors.
+    less_flat_mask = eligible & ~suppressed | (corner_label & jnp.zeros((R, W), bool))
+    lf_xyz = ring_image.xyz.reshape(-1, 3)
+    lf_rel = ring_image.rel_time.reshape(-1)
+    lf_ring = jnp.broadcast_to(jnp.arange(R)[:, None], (R, W)).reshape(-1)
+    lf_keep = voxel_downsample_masked(lf_xyz, less_flat_mask.reshape(-1),
+                                      cfg.less_flat_leaf)
+    lf = PointBatch(lf_xyz, lf_rel, lf_ring.astype(jnp.int32), lf_keep)
+    lf = _compact(lf, cfg.max_less_flat)
+
+    full = PointBatch(
+        xyz=ring_image.xyz.reshape(-1, 3),
+        rel_time=ring_image.rel_time.reshape(-1),
+        ring=lf_ring.astype(jnp.int32),
+        mask=ring_image.mask.reshape(-1),
+    )
+
+    return ScanFeatures(
+        time=scan_time,
+        full=full,
+        corner_sharp=sharp,
+        corner_less_sharp=less_sharp,
+        surf_flat=flat,
+        surf_less_flat=lf,
+    )
+
+
+def _compact(pb: PointBatch, capacity: int) -> PointBatch:
+    """Stable-partition valid points to the front and cut to capacity."""
+    order = jnp.argsort(~pb.mask, stable=True)[:capacity]
+    return PointBatch(
+        xyz=pb.xyz[order], rel_time=pb.rel_time[order],
+        ring=pb.ring[order], mask=pb.mask[order],
+    )

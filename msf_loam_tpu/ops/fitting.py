@@ -1,0 +1,156 @@
+"""Batched geometric fitting: 3x3 symmetric eigendecomposition for line
+features and least-squares plane fits.
+
+Replaces the reference's per-point Eigen calls in the mapping matcher:
+``SelfAdjointEigenSolver`` line test (``mapping_scan_matcher.cc:128-152``)
+and ``colPivHouseholderQr`` plane fit (``mapping_scan_matcher.cc:195-220``).
+Both are closed-form here (trigonometric eigensolver, 3x3 Cramer solve) so
+thousands of fits run as pure VPU element-wise math — no LAPACK loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def eigh3x3(A: Array) -> Tuple[Array, Array]:
+    """Eigenvalues (descending) + eigenvectors of symmetric 3x3 matrices.
+
+    Trigonometric (Cardano) method; batched over leading dims.
+    Returns (w (..., 3) descending, V (..., 3, 3) with V[..., :, i] the
+    eigenvector of w[..., i]).
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    eye = jnp.eye(3, dtype=A.dtype)
+    B = (A - q[..., None, None] * eye) / p[..., None, None]
+    detB = (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
+        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
+        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    w0 = q + 2.0 * p * jnp.cos(phi)                      # largest
+    w2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    w1 = 3.0 * q - w0 - w2
+
+    # near-diagonal matrices: p1 ~ 0 -> eigenvalues are the diagonal (sorted)
+    diag_sorted = -jnp.sort(-jnp.stack([a00, a11, a22], axis=-1), axis=-1)
+    is_diag = p1 < 1e-12
+    w = jnp.where(is_diag[..., None], diag_sorted,
+                  jnp.stack([w0, w1, w2], axis=-1))
+
+    # eigenvector for w_i: dominant column of prod of (A - w_j I), j != i
+    def eigvec(wi, wj, wk):
+        M = (A - wj[..., None, None] * eye) @ (A - wk[..., None, None] * eye)
+        norms = jnp.sum(M * M, axis=-2)  # column squared norms (..., 3)
+        col = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(M, col[..., None, None], axis=-1)[..., 0]
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # degenerate (repeated eigenvalue): fall back to e_x; downstream
+        # validity gates (eig-ratio tests) reject these fits anyway.
+        fallback = jnp.broadcast_to(eye[0], v.shape)
+        return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-30), fallback)
+
+    v0 = eigvec(w[..., 0], w[..., 1], w[..., 2])
+    v1 = eigvec(w[..., 1], w[..., 0], w[..., 2])
+    v2 = jnp.cross(v0, v1)
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    V = jnp.stack([v0, v1, v2], axis=-1)
+    return w, V
+
+
+class LineFit(NamedTuple):
+    center: Array     # (..., 3) centroid of neighbors
+    direction: Array  # (..., 3) unit direction (largest eigenvector)
+    valid: Array      # (...,) bool — passed the eigenvalue-ratio test
+
+
+def fit_lines(neighbors: Array, neighbor_valid: Array,
+              eig_ratio: float = 3.0) -> LineFit:
+    """Fit a 3D line through each K-neighborhood.
+
+    Mirrors the corner-feature covariance + ``lambda_max > 3 * lambda_mid``
+    acceptance of ``mapping_scan_matcher.cc:130-152``.
+
+    Args:
+      neighbors: (..., K, 3); neighbor_valid: (..., K) bool.
+    """
+    m = neighbor_valid[..., None].astype(neighbors.dtype)
+    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    center = jnp.sum(neighbors * m, axis=-2) / cnt
+    d = (neighbors - center[..., None, :]) * m
+    cov = jnp.einsum("...ki,...kj->...ij", d, d)
+    w, V = eigh3x3(cov)
+    direction = V[..., :, 0]
+    all_valid = jnp.all(neighbor_valid, axis=-1)
+    valid = all_valid & (w[..., 0] > eig_ratio * w[..., 1])
+    return LineFit(center, direction, valid)
+
+
+class PlaneFit(NamedTuple):
+    center: Array  # (..., 3)
+    normal: Array  # (..., 3) unit
+    valid: Array   # (...,) bool — all K points within fit tolerance
+
+
+def fit_planes(neighbors: Array, neighbor_valid: Array,
+               tol: float = 0.2) -> PlaneFit:
+    """Fit a plane n.x = -1 per K-neighborhood via normal equations.
+
+    Mirrors ``mapping_scan_matcher.cc:198-220``: solve A n = -1, normalize,
+    then require every neighbor within ``tol`` of the plane.
+    """
+    m = neighbor_valid[..., None].astype(neighbors.dtype)
+    A = neighbors * m
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    Atb = -jnp.sum(A, axis=-2)  # A^T (-1)
+    # 3x3 Cramer solve with adjugate
+    n_raw, det = _solve3x3(AtA, Atb)
+    nn = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    normal = n_raw / jnp.maximum(nn, 1e-30)
+    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+    center = jnp.sum(A, axis=-2) / cnt
+    resid = jnp.abs(
+        jnp.einsum("...i,...ki->...k", normal, neighbors - center[..., None, :])
+    )
+    resid = jnp.where(neighbor_valid, resid, 0.0)
+    all_valid = jnp.all(neighbor_valid, axis=-1)
+    valid = all_valid & jnp.all(resid <= tol, axis=-1) & (jnp.abs(det) > 1e-12) \
+        & (nn[..., 0] > 1e-12)
+    return PlaneFit(center, normal, valid)
+
+
+def _solve3x3(A: Array, b: Array) -> Tuple[Array, Array]:
+    """Batched 3x3 linear solve via adjugate; returns (x, det)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    adj = jnp.stack(
+        [
+            c00, a02 * a21 - a01 * a22, a01 * a12 - a02 * a11,
+            c01, a00 * a22 - a02 * a20, a02 * a10 - a00 * a12,
+            c02, a01 * a20 - a00 * a21, a00 * a11 - a01 * a10,
+        ],
+        axis=-1,
+    ).reshape(A.shape)
+    x = jnp.einsum("...ij,...j->...i", adj, b) * inv_det[..., None]
+    return x, det

@@ -1,0 +1,76 @@
+"""Voxel-grid downsampling as segment reductions.
+
+TPU-native replacement for ``pcl::VoxelGrid`` as used by the reference for
+less-flat thinning (leaf 0.2, ``msf_loam_node.cc:113-126``), the mapping
+feature filters (leaf 0.2/0.4, ``laser_mapping.cc:67-68``) and the per-cell
+map re-filter (``hybrid_grid.cc:503-521``). PCL keeps voxel centroids; we
+keep one representative point per occupied voxel (deterministic, index-
+preserving — the reference itself switches to index-copying via
+``getIndices`` to preserve ring/time fields, msf_loam_node.cc:123-125).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Large prime multipliers for 3D -> 1D voxel key hashing (open addressing).
+_P1 = jnp.uint32(73856093)
+_P2 = jnp.uint32(19349663)
+_P3 = jnp.uint32(83492791)
+
+
+def voxel_keys(xyz: Array, leaf: float, origin: float = 4096.0) -> Array:
+    """Quantize points to voxel grid coordinates and pack into int32 keys.
+
+    ``origin`` shifts coordinates positive so packing is collision-free for
+    |x| < origin (16 bits per axis would overflow; we hash instead)."""
+    ijk = jnp.floor((xyz + origin) / leaf).astype(jnp.uint32)
+    key = (ijk[..., 0] * _P1) ^ (ijk[..., 1] * _P2) ^ (ijk[..., 2] * _P3)
+    return key.astype(jnp.int32)
+
+
+def voxel_downsample_masked(xyz: Array, mask: Array, leaf: float) -> Array:
+    """Return a boolean keep-mask with one representative per occupied voxel.
+
+    Deterministic: keeps the lowest-index valid point in each voxel.
+    Fixed-shape: output mask has the same length as the input.
+    """
+    n = xyz.shape[0]
+    key = voxel_keys(xyz, leaf)
+    # invalid points get a unique sentinel key so they never collide
+    key = jnp.where(mask, key, jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    keep_sorted = first
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep & mask
+
+
+def voxel_downsample_centroid(xyz: Array, mask: Array, leaf: float,
+                              capacity: int):
+    """Centroid-style voxel filter (closer to pcl::VoxelGrid semantics).
+
+    Returns (points (capacity,3), valid (capacity,)) — per-voxel centroids,
+    compacted to the front. Used where ring/time need not survive.
+    """
+    n = xyz.shape[0]
+    key = voxel_keys(xyz, leaf)
+    key = jnp.where(mask, key, jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
+    order = jnp.argsort(key, stable=True)
+    k_sorted = key[order]
+    x_sorted = jnp.where(mask[order, None], xyz[order], 0.0)
+    m_sorted = mask[order]
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]])
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    sums = jax.ops.segment_sum(x_sorted, seg_id, num_segments=capacity)
+    cnts = jax.ops.segment_sum(m_sorted.astype(jnp.float32), seg_id,
+                               num_segments=capacity)
+    valid = cnts > 0
+    pts = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return pts, valid
