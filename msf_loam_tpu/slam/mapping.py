@@ -1,0 +1,181 @@
+"""Scan-to-map registration against the voxel hash map.
+
+TPU-native redesign of ``MappingScanMatcher::MatchScan2Map``
+(``/root/reference/src/slam/local/scan_matching/mapping_scan_matcher.cc:19-278``):
+per-point 5-NN KD-tree queries become one batched hash-grid gather
+(``slam.voxel_map.query_knn``), the per-point eigensolve/QR fits become the
+closed-form batched fits of ``ops.fitting``, and the 2x(6-iter) Ceres
+schedule becomes re-association rounds around a batched GN — one jit.
+
+The deskew-aware tightly-coupled variant (per-point IMU delta + velocity
+state, mapping_scan_matcher.cc:119-124,153-172) is ``match_scan2map_deskew``
+and activates once the estimator is initialized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from msf_loam_tpu.config import MappingConfig
+from msf_loam_tpu.core.pointcloud import PointBatch
+from msf_loam_tpu.core.se3 import Pose
+from msf_loam_tpu.ops import fitting
+from msf_loam_tpu.ops import gauss_newton as gn
+from msf_loam_tpu.ops import icp_residuals as icp
+from msf_loam_tpu.slam.voxel_map import VoxelHashMap, query_knn
+
+Array = jax.Array
+
+
+class MapCorrespondences(NamedTuple):
+    edge_points: Array; edge_c: Array; edge_n: Array; edge_valid: Array
+    plane_points: Array; plane_c: Array; plane_n: Array; plane_valid: Array
+
+
+def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
+               corner: PointBatch, surf: PointBatch, pose: Pose,
+               cfg: MappingConfig,
+               corner_world: Optional[Array] = None,
+               surf_world: Optional[Array] = None) -> MapCorrespondences:
+    """Find line/plane correspondences for all scan features at once.
+
+    corner_world/surf_world override the query positions (used by the
+    deskew path where per-point IMU compensation shifts the query).
+    """
+    cw = corner_world if corner_world is not None else pose.apply(corner.xyz)
+    sw = surf_world if surf_world is not None else pose.apply(surf.xyz)
+
+    # corners: 5-NN, gate on the 5th distance, line fit + eigen-ratio test
+    d2c, nc_xyz, nc_valid = query_knn(corner_map, cw, corner.mask, k=cfg.knn)
+    gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
+    lines = fitting.fit_lines(nc_xyz, nc_valid, cfg.line_eig_ratio)
+    edge_valid = gate_c & lines.valid
+
+    # surfs: 5-NN, plane fit + planarity tolerance
+    d2s, ns_xyz, ns_valid = query_knn(surf_map, sw, surf.mask, k=cfg.knn)
+    gate_s = (d2s[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & surf.mask
+    planes = fitting.fit_planes(ns_xyz, ns_valid, cfg.plane_fit_tol)
+    plane_valid = gate_s & planes.valid
+
+    return MapCorrespondences(
+        edge_points=corner.xyz, edge_c=lines.center, edge_n=lines.direction,
+        edge_valid=edge_valid,
+        plane_points=surf.xyz, plane_c=planes.center, plane_n=planes.normal,
+        plane_valid=plane_valid,
+    )
+
+
+class MappingResult(NamedTuple):
+    pose: Pose
+    velocity: Array
+    n_edge: Array
+    n_plane: Array
+    ok: Array
+    cost: Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
+                   scan_corner: PointBatch, scan_surf: PointBatch,
+                   pose0: Pose, cfg: MappingConfig) -> MappingResult:
+    """Loosely-coupled scan-to-map GN (pre-IMU-init path,
+    mapping_scan_matcher.cc:95-97,122-123)."""
+    pose = pose0
+    n_edge = jnp.float32(0.0)
+    n_plane = jnp.float32(0.0)
+    cost = jnp.float32(0.0)
+
+    map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
+             (surf_map.total_points() > cfg.min_map_surf)
+
+    for _ in range(cfg.outer_rounds):
+        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose, cfg)
+        n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
+        n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
+
+        def build(p, v):
+            eb = icp.edge_residuals(p, corr.edge_points, corr.edge_c,
+                                    corr.edge_n, corr.edge_valid)
+            pb = icp.plane_residuals(p, corr.plane_points, corr.plane_c,
+                                     corr.plane_n, corr.plane_valid)
+            return [eb, pb], [gn.huber_weights(eb, cfg.huber_delta),
+                              gn.huber_weights(pb, cfg.huber_delta)]
+
+        out = gn.gauss_newton(build, pose, jnp.zeros(3, jnp.float32),
+                              n_iters=cfg.gn_iterations)
+        ok_round = map_ok & ((n_edge + n_plane) >= 10)
+        pose = jax.tree.map(lambda new, old: jnp.where(ok_round, new, old),
+                            out.pose, pose)
+        cost = out.cost
+
+    return MappingResult(pose=pose, velocity=jnp.zeros(3, jnp.float32),
+                         n_edge=n_edge, n_plane=n_plane,
+                         ok=map_ok & ((n_edge + n_plane) >= 10), cost=cost)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match_scan2map_deskew(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
+                          scan_corner: PointBatch, scan_surf: PointBatch,
+                          pose0: Pose, velocity0: Array, gravity: Array,
+                          corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
+                          cfg: MappingConfig) -> MappingResult:
+    """Tightly-coupled scan-to-map GN over [pose, velocity] with per-point
+    IMU deskew terms (mapping_scan_matcher.cc:109-246 initialized branch).
+
+    Query positions use the deskew-compensated world points
+    (mapping_scan_matcher.cc:119-124): for a point with rel-time dt,
+      p_world = R (dq p + dp) + v dt - 0.5 g dt^2 + t.
+    The velocity state is held constant in the solve, matching the
+    reference's SetParameterBlockConstant(bias_j) (mapping_scan_matcher.cc:94),
+    but stays a state so the IMU-factor pre-solve path can free it.
+    """
+    from msf_loam_tpu.core.se3 import quat_rotate, quat_to_matrix
+
+    pose = pose0
+    vel = velocity0
+    n_edge = jnp.float32(0.0)
+    n_plane = jnp.float32(0.0)
+    cost = jnp.float32(0.0)
+
+    map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
+             (surf_map.total_points() > cfg.min_map_surf)
+
+    def deskewed_world(pb: PointBatch, dk: icp.DeskewTerms, p: Pose, v: Array):
+        R = quat_to_matrix(p.q)
+        local = quat_rotate(dk.delta_q, pb.xyz) + dk.delta_p
+        dt = dk.dt[:, None]
+        return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
+
+    for _ in range(cfg.outer_rounds):
+        cw = deskewed_world(scan_corner, corner_dk, pose, vel)
+        sw = deskewed_world(scan_surf, surf_dk, pose, vel)
+        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
+                          cfg, corner_world=cw, surf_world=sw)
+        n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
+        n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
+
+        def build(p, v):
+            eb = icp.edge_residuals_deskew(p, v, corr.edge_points, corr.edge_c,
+                                           corr.edge_n, corr.edge_valid, corner_dk)
+            pb = icp.plane_residuals_deskew(p, v, corr.plane_points, corr.plane_c,
+                                            corr.plane_n, corr.plane_valid, surf_dk)
+            # velocity held constant: zero its Jacobian columns
+            eb = eb._replace(J=eb.J.at[..., 6:9].set(0.0))
+            pb = pb._replace(J=pb.J.at[..., 6:9].set(0.0))
+            return [eb, pb], [gn.huber_weights(eb, cfg.huber_delta),
+                              gn.huber_weights(pb, cfg.huber_delta)]
+
+        out = gn.gauss_newton(build, pose, vel, n_iters=cfg.gn_iterations,
+                              state_dim=9)
+        ok_round = map_ok & ((n_edge + n_plane) >= 10)
+        pose = jax.tree.map(lambda new, old: jnp.where(ok_round, new, old),
+                            out.pose, pose)
+        cost = out.cost
+
+    return MappingResult(pose=pose, velocity=vel, n_edge=n_edge,
+                         n_plane=n_plane,
+                         ok=map_ok & ((n_edge + n_plane) >= 10), cost=cost)

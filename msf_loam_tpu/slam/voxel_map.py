@@ -1,0 +1,176 @@
+"""Fixed-capacity spatial-hash voxel map.
+
+TPU-native replacement for the reference's Cartographer-style HybridGrid
+(``/root/reference/src/slam/map/hybrid_grid.cc:462-534``): per-cell point
+clouds, voxel-deduplicated on insert (the ``InsertScan`` re-filter at
+hybrid_grid.cc:503-521), queried by gathering a 27-cell neighborhood around
+each scan point (``GetSurroundedCloud``'s +/-1 dilation, hybrid_grid.cc:
+474-481). The dynamic pointer grid becomes a flat hash table of fixed-size
+point slabs so insert/query are pure gather/scatter with static shapes:
+
+* ``points``   (H, P, 3)  — slab of up to P points per hash slot
+* ``leaf_key`` (H, P)     — packed leaf-voxel id per stored point, giving
+                            one-point-per-leaf-voxel dedup on insert
+* ``count``    (H,)       — occupancy per slot
+
+Cells hash into slots without collision resolution; a collision only mixes
+far-apart cells into one candidate slab, and the kNN distance gate
+(d^2 < 1.0, mapping_scan_matcher.cc:128) rejects the aliens. The whole map
+is a pytree, threaded through the jitted frame step with buffer donation.
+Sharding story: shard the H axis across devices; each device owns a slot
+range, inserts locally, answers queries over its shard, and top-k results
+merge with an all-gather (see parallel/sharded_map.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# 27-neighborhood offsets, shaped (27, 3)
+_OFFSETS = jnp.stack(jnp.meshgrid(
+    jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+    indexing="ij"), axis=-1).reshape(-1, 3)
+
+_P1 = jnp.uint32(73856093)
+_P2 = jnp.uint32(19349663)
+_P3 = jnp.uint32(83492791)
+
+
+def _hash_cells(cells: Array, table_size: int) -> Array:
+    """(..., 3) int32 cell coords -> slot index in [0, table_size)."""
+    c = cells.astype(jnp.uint32)
+    h = (c[..., 0] * _P1) ^ (c[..., 1] * _P2) ^ (c[..., 2] * _P3)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+class VoxelHashMap(NamedTuple):
+    points: Array     # (H, P, 3) float32
+    leaf_key: Array   # (H, P) int32
+    count: Array      # (H,) int32
+    cell_size: Array  # () float32
+    leaf: Array       # () float32
+
+    @property
+    def table_size(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def slab_capacity(self) -> int:
+        return self.points.shape[1]
+
+    def total_points(self) -> Array:
+        return jnp.sum(self.count)
+
+
+def create_map(table_size: int, slab_capacity: int, cell_size: float,
+               leaf: float) -> VoxelHashMap:
+    return VoxelHashMap(
+        points=jnp.zeros((table_size, slab_capacity, 3), jnp.float32),
+        leaf_key=jnp.full((table_size, slab_capacity), -1, jnp.int32),
+        count=jnp.zeros((table_size,), jnp.int32),
+        cell_size=jnp.float32(cell_size),
+        leaf=jnp.float32(leaf),
+    )
+
+
+@jax.jit
+def insert(vmap: VoxelHashMap, xyz: Array, mask: Array) -> VoxelHashMap:
+    """Insert world-frame points, one representative per leaf voxel.
+
+    Semantics follow HybridGridImpl::InsertScan (hybrid_grid.cc:503-521):
+    bin by cell, then keep per-cell clouds thinned at leaf resolution. New
+    points whose leaf voxel is already occupied are dropped; full slabs
+    drop overflow (the reference's grid is unbounded; our slabs bound it —
+    size them for the leaf/cell ratio).
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    n = xyz.shape[0]
+
+    keep = _dedup_batch(xyz, mask, vmap.leaf)
+    cells = jnp.floor(xyz / vmap.cell_size).astype(jnp.int32)
+    slot = _hash_cells(cells, H)
+    lkey = _leaf_key_dyn(xyz, vmap.leaf)
+
+    # drop points whose leaf voxel already exists in the target slab
+    slab_keys = vmap.leaf_key[slot]                     # (n, P)
+    occup = jnp.arange(P)[None, :] < vmap.count[slot][:, None]
+    dup = jnp.any((slab_keys == lkey[:, None]) & occup, axis=1)
+    keep = keep & ~dup
+
+    # rank new points within their slot (stable) to get write offsets
+    sent = jnp.int32(H)
+    key = jnp.where(keep, slot, sent)
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    pos = jnp.arange(n)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))
+    rank_sorted = pos - seg_start
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+
+    dest = vmap.count[slot] + rank
+    ok = keep & (dest < P)
+    w_slot = jnp.where(ok, slot, H)   # out-of-bounds => dropped by mode="drop"
+    w_dest = jnp.where(ok, dest, 0)
+
+    new_points = vmap.points.at[w_slot, w_dest].set(xyz, mode="drop")
+    new_keys = vmap.leaf_key.at[w_slot, w_dest].set(lkey, mode="drop")
+    new_count = vmap.count.at[w_slot].add(ok.astype(jnp.int32), mode="drop")
+    new_count = jnp.minimum(new_count, P)
+    return vmap._replace(points=new_points, leaf_key=new_keys, count=new_count)
+
+
+def _dedup_batch(xyz: Array, mask: Array, leaf: Array) -> Array:
+    """One representative per leaf voxel within the incoming batch."""
+    n = xyz.shape[0]
+    key = _leaf_key_dyn(xyz, leaf)
+    key = jnp.where(mask, key, jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    keep = jnp.zeros((n,), bool).at[order].set(first)
+    return keep & mask
+
+
+def _leaf_key_dyn(xyz: Array, leaf: Array, origin: float = 8192.0) -> Array:
+    ijk = jnp.floor((xyz + origin) / leaf).astype(jnp.uint32)
+    k = (ijk[..., 0] * _P1) ^ (ijk[..., 1] * _P2) ^ (ijk[..., 2] * _P3)
+    return k.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def query_knn(vmap: VoxelHashMap, query: Array, query_mask: Array,
+              k: int = 5) -> Tuple[Array, Array, Array]:
+    """k nearest map points for each query (world frame).
+
+    Gathers the 27-cell neighborhood slabs around each query point and
+    top-k's by distance — the batched analog of GetSurroundedCloud + 5-NN
+    KD-tree search (hybrid_grid.cc:470-501 + mapping_scan_matcher.cc:125).
+
+    Returns (d2 (Q,k), xyz (Q,k,3), valid (Q,k)).
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    q = query.astype(jnp.float32)
+    cells = jnp.floor(q / vmap.cell_size).astype(jnp.int32)      # (Q, 3)
+    ncells = cells[:, None, :] + _OFFSETS[None, :, :]            # (Q, 27, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 27)
+
+    cand = vmap.points[slots]                                    # (Q, 27, P, 3)
+    occup = jnp.arange(P)[None, None, :] < vmap.count[slots][:, :, None]
+    diff = cand - q[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(occup, d2, jnp.float32(3e38)).reshape(q.shape[0], -1)
+
+    neg_top, arg = jax.lax.top_k(-d2, k)
+    top_d2 = -neg_top
+    top_xyz = jnp.take_along_axis(
+        cand.reshape(q.shape[0], -1, 3), arg[..., None], axis=1)
+    valid = (top_d2 < 1e37) & query_mask[:, None]
+    return top_d2, top_xyz, valid

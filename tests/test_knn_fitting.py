@@ -1,0 +1,107 @@
+"""kNN kernel vs scipy brute force; line/plane fit numerics vs numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.ops import fitting, knn
+
+RNG = np.random.default_rng(7)
+
+
+def test_knn_matches_bruteforce():
+    q = RNG.normal(size=(137, 3)).astype(np.float32) * 5
+    r = RNG.normal(size=(1000, 3)).astype(np.float32) * 5
+    rmask = np.ones(1000, bool)
+    rmask[::7] = False
+    d2, idx = knn.knn(jnp.asarray(q), jnp.ones(137, bool), jnp.asarray(r),
+                      jnp.asarray(rmask), k=5, chunk=256)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+
+    full = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    full[:, ~rmask] = np.inf
+    want_idx = np.argsort(full, axis=1)[:, :5]
+    want_d2 = np.take_along_axis(full, want_idx, axis=1)
+    np.testing.assert_allclose(d2, want_d2, rtol=1e-3, atol=1e-3)
+    # indices can differ on exact ties; distances must match
+    got_d2_from_idx = np.take_along_axis(full, idx, axis=1)
+    np.testing.assert_allclose(got_d2_from_idx, want_d2, rtol=1e-3, atol=1e-3)
+
+
+def test_knn_excludes_invalid_refs():
+    q = np.zeros((1, 3), np.float32)
+    r = np.array([[0.1, 0, 0], [0.2, 0, 0], [99, 99, 99]], np.float32)
+    rmask = np.array([False, True, True])
+    d2, idx = knn.knn(jnp.asarray(q), jnp.ones(1, bool), jnp.asarray(r),
+                      jnp.asarray(rmask), k=2, chunk=4)
+    assert int(idx[0, 0]) == 1
+    assert int(idx[0, 1]) == 2
+
+
+def test_knn_fewer_refs_than_k():
+    q = np.zeros((2, 3), np.float32)
+    r = np.array([[1.0, 0, 0]], np.float32)
+    d2, idx = knn.knn(jnp.asarray(q), jnp.ones(2, bool), jnp.asarray(r),
+                      jnp.ones(1, bool), k=3, chunk=4)
+    assert int(idx[0, 0]) == 0
+    assert (np.asarray(idx)[:, 1:] == -1).all()
+    assert np.isinf(np.asarray(d2)[:, 1:]).all() or (np.asarray(d2)[:, 1:] > 1e30).all()
+
+
+def test_eigh3x3_matches_numpy():
+    A = RNG.normal(size=(200, 3, 3)).astype(np.float32)
+    A = A + np.swapaxes(A, 1, 2)
+    w, V = fitting.eigh3x3(jnp.asarray(A))
+    w, V = np.asarray(w), np.asarray(V)
+    w_np = np.linalg.eigvalsh(A)[:, ::-1]  # descending
+    np.testing.assert_allclose(w, w_np, rtol=1e-3, atol=1e-3)
+    # eigenvector property: A v = w v
+    for i in range(3):
+        Av = np.einsum("nij,nj->ni", A, V[:, :, i])
+        wv = w[:, i:i + 1] * V[:, :, i]
+        np.testing.assert_allclose(Av, wv, atol=5e-2)
+
+
+def test_fit_lines_on_true_line():
+    d = np.array([1.0, 2.0, -0.5])
+    d = d / np.linalg.norm(d)
+    t = np.linspace(-1, 1, 5)
+    base = np.array([3.0, -1.0, 2.0])
+    pts = base[None] + t[:, None] * d[None] + RNG.normal(size=(5, 3)) * 1e-3
+    out = fitting.fit_lines(jnp.asarray(pts[None].astype(np.float32)),
+                            jnp.ones((1, 5), bool))
+    assert bool(out.valid[0])
+    np.testing.assert_allclose(np.abs(np.asarray(out.direction[0]) @ d), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.center[0]), pts.mean(0), atol=1e-3)
+
+
+def test_fit_lines_rejects_blob():
+    pts = RNG.normal(size=(1, 5, 3)).astype(np.float32)  # isotropic blob
+    out = fitting.fit_lines(jnp.asarray(pts), jnp.ones((1, 5), bool))
+    assert not bool(out.valid[0])
+
+
+def test_fit_planes_on_true_plane():
+    n = np.array([0.0, 0.0, 1.0])
+    xy = RNG.normal(size=(5, 2))
+    pts = np.concatenate([xy, np.full((5, 1), 2.0)], axis=1)  # z = 2 plane
+    out = fitting.fit_planes(jnp.asarray(pts[None].astype(np.float32)),
+                             jnp.ones((1, 5), bool))
+    assert bool(out.valid[0])
+    np.testing.assert_allclose(np.abs(np.asarray(out.normal[0]) @ n), 1.0, atol=1e-3)
+
+
+def test_fit_planes_rejects_nonplanar():
+    pts = RNG.normal(size=(1, 5, 3)).astype(np.float32) * 2
+    out = fitting.fit_planes(jnp.asarray(pts), jnp.ones((1, 5), bool), tol=0.2)
+    # 5 random gaussian points are almost surely not within 0.2 of a plane
+    assert not bool(out.valid[0])
+
+
+def test_fit_planes_matches_reference_lstsq():
+    """Reference solves matA0 @ n = -1 via QR (mapping_scan_matcher.cc:210)."""
+    pts = (RNG.normal(size=(5, 3)) * 0.1 + np.array([5, 3, 1])).astype(np.float32)
+    out = fitting.fit_planes(jnp.asarray(pts[None]), jnp.ones((1, 5), bool), tol=10.0)
+    n_ref, *_ = np.linalg.lstsq(pts, -np.ones(5), rcond=None)
+    n_ref = n_ref / np.linalg.norm(n_ref)
+    got = np.asarray(out.normal[0])
+    np.testing.assert_allclose(np.abs(got @ n_ref), 1.0, atol=1e-3)

@@ -1,0 +1,91 @@
+"""Voxel hash map: insert/query semantics vs brute force, leaf dedup,
+slab overflow, incremental growth."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.slam import voxel_map
+
+RNG = np.random.default_rng(21)
+
+
+def _new_map():
+    return voxel_map.create_map(table_size=1 << 12, slab_capacity=32,
+                                cell_size=2.0, leaf=0.2)
+
+
+def test_insert_then_query_finds_nearest():
+    m = _new_map()
+    pts = RNG.uniform(-10, 10, size=(2000, 3)).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(2000, bool))
+
+    q = RNG.uniform(-9, 9, size=(64, 3)).astype(np.float32)
+    d2, nxyz, valid = voxel_map.query_knn(m, jnp.asarray(q), jnp.ones(64, bool), k=5)
+    d2, nxyz, valid = np.asarray(d2), np.asarray(nxyz), np.asarray(valid)
+
+    # compare against brute-force over the points actually stored in the map
+    stored = np.asarray(m.points).reshape(-1, 3)
+    occ = (np.arange(m.slab_capacity)[None, :] < np.asarray(m.count)[:, None]).reshape(-1)
+    stored = stored[occ]
+    for i in range(64):
+        bf = np.sort(((stored - q[i]) ** 2).sum(1))[:5]
+        # within-cell-neighborhood neighbors must match brute force whenever
+        # the true NN is within one cell (cell 2.0 >> typical NN dist here)
+        if valid[i, 0] and bf[0] < 1.0:
+            np.testing.assert_allclose(d2[i, 0], bf[0], rtol=1e-3, atol=1e-4)
+
+
+def test_leaf_dedup_on_insert():
+    m = _new_map()
+    # 100 copies of nearly the same point (placed mid-voxel) -> one stored
+    center = np.array([0.1, 0.1, 0.1])
+    pts = (center + RNG.normal(size=(100, 3)) * 0.001).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(100, bool))
+    assert int(m.total_points()) == 1
+
+
+def test_dedup_across_inserts():
+    m = _new_map()
+    pts = RNG.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(500, bool))
+    n1 = int(m.total_points())
+    # inserting the same points again must not grow the map
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(500, bool))
+    assert int(m.total_points()) == n1
+
+
+def test_masked_points_not_inserted():
+    m = _new_map()
+    pts = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
+    mask = np.zeros(100, bool)
+    mask[:10] = True
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.asarray(mask))
+    assert int(m.total_points()) <= 10
+
+
+def test_slab_overflow_drops_not_corrupts():
+    m = voxel_map.create_map(table_size=8, slab_capacity=4, cell_size=100.0,
+                             leaf=0.01)
+    # all points in one cell, far more than capacity
+    pts = RNG.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(100, bool))
+    assert int(m.count.max()) <= 4
+    d2, nxyz, valid = voxel_map.query_knn(m, jnp.zeros((1, 3)), jnp.ones(1, bool), k=4)
+    assert bool(valid[0, 0])
+
+
+def test_query_empty_map():
+    m = _new_map()
+    d2, nxyz, valid = voxel_map.query_knn(m, jnp.zeros((4, 3)), jnp.ones(4, bool), k=5)
+    assert not np.asarray(valid).any()
+
+
+def test_neighbors_across_cell_boundary():
+    m = _new_map()
+    # two points in adjacent cells, query between them
+    pts = np.array([[1.99, 0, 0], [2.01, 0, 0]], np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(2, bool))
+    d2, nxyz, valid = voxel_map.query_knn(m, jnp.asarray([[2.0, 0, 0]]),
+                                          jnp.ones(1, bool), k=2)
+    assert bool(valid[0, 0]) and bool(valid[0, 1])
+    np.testing.assert_allclose(np.asarray(d2[0]).sum(), 2 * 0.01 ** 2, atol=1e-5)
