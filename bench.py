@@ -1,0 +1,119 @@
+"""Benchmark: full per-frame SLAM compute throughput on one chip.
+
+Measures the fused device pipeline per frame — LOAM feature extraction
+(curvature + greedy picks), scan-to-scan odometry GN, hash-grid scan-to-map
+GN (5-NN + line/plane fits), and map insert — on realistic VLP-16 shapes
+(16 rings x 1800 pts @ 10 Hz). The whole frame is ONE jitted program;
+frames are iterated with ``lax.scan`` on device so host/tunnel latency is
+excluded from the steady-state number.
+
+Baseline: the reference's real-time design point is 10 scans/s (10 Hz
+lidar, <100 ms/stage budget — BASELINE.md); it publishes no faster number.
+``vs_baseline`` is therefore measured scans/s / 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = 30          # frames per timed scan (device-side loop)
+N_RINGS = 16
+PTS_PER_RING = 1800
+BASELINE_SCANS_PER_SEC = 10.0
+
+
+def build_inputs():
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import FeatureConfig, MappingConfig, OdometryConfig
+    from msf_loam_tpu.dataio import preprocess, synthetic
+
+    fcfg = FeatureConfig(max_points_per_ring=2048, max_less_flat=8192)
+    mcfg = MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
+                         max_query_points=4096)
+    ocfg = OdometryConfig()
+
+    world = synthetic.World.corridor(seed=0, size=14.0)
+    xyz, ring = synthetic.simulate_scan(world, np.zeros(3), np.eye(3),
+                                        n_rings=N_RINGS,
+                                        pts_per_ring=PTS_PER_RING, noise=0.004)
+    img = preprocess.preprocess_scan(xyz, ring, fcfg, num_rings=N_RINGS)
+    return fcfg, mcfg, ocfg, img
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    fcfg, mcfg, ocfg, img = build_inputs()
+
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.slam import mapping, odometry, voxel_map
+    from msf_loam_tpu.slam.pipeline import downsample_features
+
+    corner_map = voxel_map.create_map(mcfg.map_table_size,
+                                      mcfg.map_cell_capacity,
+                                      mcfg.map_cell_size, mcfg.line_resolution)
+    surf_map = voxel_map.create_map(mcfg.map_table_size, mcfg.map_cell_capacity,
+                                    mcfg.map_cell_size, mcfg.plane_resolution)
+
+    def frame_step(carry, xs):
+        cmap, smap, prev_feats, pose_c2l, pose_w = carry
+        feats = feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
+        odo = odometry.match_scan2scan(prev_feats, feats, pose_c2l, ocfg)
+        pose_w = pose_w.compose(odo.pose_curr2last)
+        corner_ds = downsample_features(feats.corner_less_sharp,
+                                        mcfg.line_resolution,
+                                        mcfg.max_query_points)
+        surf_ds = downsample_features(feats.surf_less_flat,
+                                      mcfg.plane_resolution,
+                                      mcfg.max_query_points)
+        mres = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds,
+                                      pose_w, mcfg)
+        cw = corner_ds.transform(mres.pose)
+        sw = surf_ds.transform(mres.pose)
+        cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)
+        smap = voxel_map.insert(smap, sw.xyz, sw.mask)
+        return (cmap, smap, feats, odo.pose_curr2last, mres.pose), mres.cost
+
+    @jax.jit
+    def run_frames(cmap, smap):
+        feats0 = feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
+        carry = (cmap, smap, feats0, Pose.identity(), Pose.identity())
+        carry, costs = jax.lax.scan(frame_step, carry, None, length=N_FRAMES)
+        return costs
+
+    # warm-up / compile
+    t0 = time.perf_counter()
+    costs = run_frames(corner_map, surf_map)
+    costs.block_until_ready()
+    compile_and_first = time.perf_counter() - t0
+
+    # steady state
+    t0 = time.perf_counter()
+    n_reps = 3
+    for _ in range(n_reps):
+        costs = run_frames(corner_map, surf_map)
+    costs.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    scans_per_sec = (N_FRAMES * n_reps) / elapsed
+    result = {
+        "metric": "scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(f"# compile+first: {compile_and_first:.1f}s, "
+          f"steady: {elapsed:.2f}s for {N_FRAMES * n_reps} frames, "
+          f"platform: {jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Trajectory evaluation CLI: ATE RMSE / RPE against ground truth.
+
+The quantitative replacement for the reference's manual rviz inspection
+(SURVEY.md §4): loads a trajectory artifact (run_slam output) and KITTI
+ground truth, reports ATE RMSE (raw + SE(3)-aligned) and relative pose
+error over fixed segment lengths.
+
+Usage:
+  python -m msf_loam_tpu.apps.evaluate --trajectory traj.npz \
+      --kitti_root DIR --sequence 00
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def rpe(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 10) -> float:
+    """Relative pose (translation) error RMSE over a frame delta."""
+    n = min(len(est_t), len(gt_t)) - delta
+    if n <= 0:
+        return float("nan")
+    d_est = est_t[delta:delta + n] - est_t[:n]
+    d_gt = gt_t[delta:delta + n] - gt_t[:n]
+    err = np.linalg.norm(d_est - d_gt, axis=1)
+    return float(np.sqrt((err ** 2).mean()))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--trajectory", required=True, help="run_slam .npz output")
+    ap.add_argument("--kitti_root")
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--gt_npz", help="alternative GT: npz with 'translation'")
+    ap.add_argument("--rpe_delta", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from msf_loam_tpu.dataio.artifacts import load_trajectory
+    from msf_loam_tpu.slam.pipeline import ate_rmse
+
+    traj = load_trajectory(args.trajectory)
+    est_t = traj["translation"]
+
+    if args.gt_npz:
+        gt_t = load_trajectory(args.gt_npz)["translation"]
+    elif args.kitti_root:
+        from msf_loam_tpu.dataio.kitti import KittiSequence
+        seq = KittiSequence(args.kitti_root, args.sequence)
+        if seq.gt_poses is None:
+            print("error: no ground-truth poses found", file=sys.stderr)
+            return 2
+        gt_t = seq.gt_poses[:, :3, 3]
+    else:
+        print("error: --kitti_root or --gt_npz required", file=sys.stderr)
+        return 2
+
+    n = min(len(est_t), len(gt_t))
+    est_t, gt_t = est_t[:n], gt_t[:n]
+    gt_t = gt_t - gt_t[0]
+
+    out = {
+        "frames": n,
+        "ate_rmse_m": round(ate_rmse(est_t, gt_t, align=False), 4),
+        "ate_rmse_aligned_m": round(ate_rmse(est_t, gt_t, align=True), 4),
+        f"rpe_{args.rpe_delta}_m": round(rpe(est_t, gt_t, args.rpe_delta), 4),
+        "trajectory_length_m": round(float(
+            np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()), 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

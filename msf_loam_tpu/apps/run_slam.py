@@ -1,0 +1,186 @@
+"""Offline SLAM runner — the ``msf_loam_node`` CLI analog.
+
+Replaces the reference's node main + rosbag replay loop
+(``/root/reference/src/msf_loam_node.cc:412-482``): reads a KITTI-format
+sequence directory (or a synthetic self-test world), pushes scans (and
+optionally synthesized IMU) through the SlamPipeline, fuses 'GPS'
+(ground-truth-derived fixes, the _SIM_GPS path, laser_mapping.cc:450-465)
+in a final pose-graph solve, and writes the PLY map + trajectory artifacts.
+
+Usage:
+  python -m msf_loam_tpu.apps.run_slam --kitti_root DIR --sequence 00 \
+      [--config FILE] [--max_frames N] [--sim_gps] [--output_dir DIR]
+  python -m msf_loam_tpu.apps.run_slam --selftest  # synthetic world
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("msf_loam_tpu")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--kitti_root", help="KITTI odometry root (sequences/, poses/)")
+    ap.add_argument("--sequence", default="00")
+    ap.add_argument("--config", help="config JSON (native or reference proto-JSON)")
+    ap.add_argument("--max_frames", type=int, default=None)
+    ap.add_argument("--n_rings", type=int, default=64)
+    ap.add_argument("--sim_gps", action="store_true",
+                    help="simulate 1 Hz GPS from GT + noise (_SIM_GPS)")
+    ap.add_argument("--posegraph", action="store_true",
+                    help="run the GPS/odometry pose-graph fusion at shutdown")
+    ap.add_argument("--output_dir", default=".")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run on a synthetic corridor world (no dataset)")
+    ap.add_argument("--selftest_frames", type=int, default=12)
+    ap.add_argument("--eval", action="store_true", help="print ATE vs GT")
+    ap.add_argument("--save_map", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.WARNING if args.quiet else logging.INFO,
+        format="%(levelname).1s %(asctime)s %(name)s] %(message)s")
+
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import FeatureConfig, MsfLoamConfig
+    from msf_loam_tpu.dataio import artifacts, preprocess
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.slam.pipeline import SlamPipeline, ate_rmse
+
+    if args.config:
+        cfg = MsfLoamConfig.from_json(args.config)
+    else:
+        cfg = MsfLoamConfig()
+
+    t_start = time.perf_counter()
+    gt_t = []
+    gps_times, gps_xyz = [], []
+    rng = np.random.default_rng(0)
+
+    if args.selftest:
+        from msf_loam_tpu.dataio import synthetic
+        n_rings = 16
+        fcfg = dataclasses.replace(cfg.features, max_points_per_ring=2048)
+        cfg = dataclasses.replace(cfg, features=fcfg)
+        pipe = SlamPipeline(cfg)
+        world = synthetic.World.corridor(seed=0, size=12.0)
+        n = args.selftest_frames
+        for i in range(n):
+            t = np.array([0.25 * i, 0.1 * np.sin(0.2 * i), 0.0])
+            yaw = 0.02 * i
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+            xyz, ring = synthetic.simulate_scan(world, t, R, n_rings=n_rings,
+                                                pts_per_ring=1800,
+                                                noise=0.004, seed=i)
+            img = preprocess.preprocess_scan(xyz, ring, cfg.features, n_rings)
+            feats = feat_mod.extract_features(img, jnp.float32(0.1 * i),
+                                              cfg.features)
+            res = pipe.process_scan(feats)
+            gt_t.append(t)
+            if args.sim_gps and i % cfg.posegraph.sim_gps_period == 0:
+                gps_times.append(0.1 * i)
+                gps_xyz.append(t + rng.uniform(-cfg.posegraph.sim_gps_noise,
+                                               cfg.posegraph.sim_gps_noise, 3))
+            logger.info("frame %d: t=%s ok=%s", i,
+                        np.round(np.asarray(res.map_pose.t), 3), res.ok)
+    else:
+        if not args.kitti_root:
+            print("error: --kitti_root or --selftest required", file=sys.stderr)
+            return 2
+        from msf_loam_tpu.dataio.kitti import KittiSequence
+        seq = KittiSequence(args.kitti_root, args.sequence,
+                            n_rings=args.n_rings)
+        pipe = SlamPipeline(cfg)
+        end = args.max_frames or len(seq)
+        counter = 0
+        for frame in seq.frames(0, end):
+            img = preprocess.preprocess_scan(frame.xyz, frame.ring,
+                                             cfg.features, args.n_rings)
+            feats = feat_mod.extract_features(
+                img, jnp.float32(frame.time), cfg.features)
+            res = pipe.process_scan(feats)
+            if frame.gt_pose is not None:
+                gt_t.append(frame.gt_pose[:3, 3])
+                counter += 1
+                if args.sim_gps and counter % cfg.posegraph.sim_gps_period == 0:
+                    gps_times.append(frame.time)
+                    gps_xyz.append(frame.gt_pose[:3, 3] + rng.uniform(
+                        -cfg.posegraph.sim_gps_noise,
+                        cfg.posegraph.sim_gps_noise, 3))
+            logger.info("frame %d: t=%s corr=%d", frame.index,
+                        np.round(np.asarray(res.map_pose.t), 2),
+                        int(res.n_correspondences))
+
+    traj = pipe.trajectory()
+    elapsed = time.perf_counter() - t_start
+    n_frames = len(traj)
+    summary = {
+        "frames": n_frames,
+        "elapsed_s": round(elapsed, 2),
+        "scans_per_sec": round(n_frames / elapsed, 2),
+    }
+
+    # shutdown-time pose-graph fusion (~LaserMapping dtor, laser_mapping.cc:92)
+    if args.posegraph and len(gps_times) >= 2:
+        from msf_loam_tpu.core.se3 import Pose
+        from msf_loam_tpu.slam import posegraph
+        poses = Pose(t=jnp.asarray(traj[:, 1:4], dtype=jnp.float32),
+                     q=jnp.asarray(traj[:, 4:8], dtype=jnp.float32))
+        data = posegraph.build_graph_data(
+            jnp.asarray(traj[:, 0], dtype=jnp.float32), poses,
+            jnp.asarray(np.asarray(gps_times), dtype=jnp.float32),
+            jnp.asarray(np.asarray(gps_xyz), dtype=jnp.float32),
+            jnp.ones(len(gps_times), bool))
+        out = posegraph.optimize(poses, data, cfg.posegraph,
+                                 n_iters=cfg.posegraph.iterations)
+        traj[:, 1:4] = np.asarray(out.poses.t)
+        traj[:, 4:8] = np.asarray(out.poses.q)
+        summary["posegraph_cost"] = [float(out.initial_cost),
+                                     float(out.final_cost)]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    artifacts.save_trajectory(
+        os.path.join(args.output_dir, cfg.runtime.trajectory_output),
+        traj[:, 0], traj[:, 1:4], traj[:, 4:8])
+
+    if args.save_map:
+        stored = np.asarray(pipe.surf_map.points).reshape(-1, 3)
+        occ = (np.arange(pipe.surf_map.slab_capacity)[None, :]
+               < np.asarray(pipe.surf_map.count)[:, None]).reshape(-1)
+        cloud = stored[occ]
+        if pipe.is_initialized:
+            cloud = artifacts.gravity_align(cloud, np.asarray(pipe.gravity))
+        artifacts.save_ply(os.path.join(args.output_dir,
+                                        cfg.runtime.map_output), cloud)
+        summary["map_points"] = int(occ.sum())
+
+    if args.eval and gt_t:
+        gt = np.asarray(gt_t)
+        gt_rel = gt - gt[0]
+        summary["ate_rmse_m"] = round(ate_rmse(traj[:, 1:4], gt_rel), 4)
+        summary["ate_rmse_aligned_m"] = round(
+            ate_rmse(traj[:, 1:4], gt_rel, align=True), 4)
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,31 +119,35 @@ def quat_exp(theta: Array) -> Array:
     """so(3) tangent -> unit quaternion: exp([0, theta/2]).
 
     Matches ``Utility::deltaQ`` (``utility.h:8-33``) including the Taylor
-    fallback for small angles, but branch-free via ``jnp.where``.
+    fallback for small angles. Autodiff-safe at theta == 0: the sqrt is
+    guarded (double-where) so jacobians of retractions at the identity
+    don't produce NaNs.
     """
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)
+    sq = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(safe_sq)
     half = 0.5 * angle
-    small = angle < 1e-6
     # sin(t/2)/t with Taylor fallback 0.5 - t^2/48 + t^4/3840
-    sq = angle * angle
-    sinc_half = jnp.where(
-        small,
-        0.5 - sq / 48.0 + sq * sq / 3840.0,
-        jnp.sin(half) / jnp.where(small, 1.0, angle),
-    )
-    w = jnp.cos(half)
+    sinc_half = jnp.where(small, 0.5 - sq / 48.0 + sq * sq / 3840.0,
+                          jnp.sin(half) / angle)
+    # cos(t/2) with Taylor fallback 1 - t^2/8 + t^4/384
+    w = jnp.where(small, 1.0 - sq / 8.0 + sq * sq / 384.0, jnp.cos(half))
     xyz = sinc_half * theta
     return jnp.concatenate([w, xyz], axis=-1)
 
 
 def quat_log(q: Array) -> Array:
-    """Unit quaternion -> so(3) tangent (inverse of quat_exp)."""
+    """Unit quaternion -> so(3) tangent (inverse of quat_exp).
+
+    Autodiff-safe at the identity (guarded sqrt)."""
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # take the short way around
     w = jnp.clip(q[..., 0:1], -1.0, 1.0)
-    vnorm = jnp.linalg.norm(q[..., 1:4], axis=-1, keepdims=True)
+    vsq = jnp.sum(q[..., 1:4] ** 2, axis=-1, keepdims=True)
+    small = vsq < 1e-18
+    vnorm = jnp.sqrt(jnp.where(small, 1.0, vsq))
     angle = 2.0 * jnp.arctan2(vnorm, w)
-    small = vnorm < 1e-9
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), angle / jnp.where(small, 1.0, vnorm))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), angle / vnorm)
     return scale * q[..., 1:4]
 
 

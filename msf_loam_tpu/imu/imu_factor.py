@@ -1,0 +1,95 @@
+"""The 15-dim IMU preintegration factor with analytic Jacobians.
+
+Batched/jit re-design of ``IMUFactor``
+(``/root/reference/src/slam/imu_fusion/imu_factor.cc:7-152``): a Ceres
+SizedCostFunction<15, 7,9,7,9> between states i and j becomes a function
+returning the whitened residual and its Jacobians wrt the free state
+[pose_j tangent (6), v_j (3)] — the configuration the reference's mapping
+pre-solve uses (pose_i/bias_i constant, bias_j velocity-only free,
+mapping_scan_matcher.cc:35-51).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from msf_loam_tpu.core.se3 import (Pose, quat_conjugate, quat_left,
+                                   quat_multiply, quat_exp, quat_rotate,
+                                   quat_to_matrix, skew)
+from msf_loam_tpu.imu.preintegration import (O_BA, O_BG, O_P, O_R, O_V,
+                                             Preintegration,
+                                             evaluate_residual,
+                                             sqrt_information)
+from msf_loam_tpu.ops.icp_residuals import ResidualBlocks
+
+Array = jax.Array
+
+
+class ImuState(NamedTuple):
+    """Full 15-dim navigation state."""
+
+    pose: Pose   # p, q
+    v: Array     # (3,)
+    ba: Array    # (3,)
+    bg: Array    # (3,)
+
+    @staticmethod
+    def zero() -> "ImuState":
+        return ImuState(Pose.identity(), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
+
+
+def imu_factor_blocks(pre: Preintegration, state_i: ImuState,
+                      state_j: ImuState, gravity: Array,
+                      info_scale: float = 0.001) -> ResidualBlocks:
+    """Whitened residual + Jacobian wrt [dpose_j (6), dv_j (3)].
+
+    Jacobian blocks follow imu_factor.cc eq48/eq49:
+      d r_p / d p_j = R_i^T                       (imu_factor.cc:121)
+      d r_q / d th_j = Qleft(dq^-1 q_i^-1 q_j)[1:,1:]   (:124)
+      d r_v / d v_j = R_i^T                       (:138)
+    whitened by sqrt_info = 0.001 * chol(cov^-1)^T (:41-44).
+    """
+    r = evaluate_residual(
+        pre,
+        state_i.pose.t, state_i.pose.q, state_i.v, state_i.ba, state_i.bg,
+        state_j.pose.t, state_j.pose.q, state_j.v, state_j.ba, state_j.bg,
+        gravity)
+    sqrt_info = sqrt_information(pre, info_scale)
+
+    Ri_inv = quat_to_matrix(state_i.pose.q).T
+    dq_dbg = pre.jacobian[O_R:O_R + 3, O_BG:O_BG + 3]
+    corrected_q = quat_multiply(
+        pre.delta_q, quat_exp(dq_dbg @ (state_i.bg - pre.linearized_bg)))
+
+    J = jnp.zeros((15, 9))
+    J = J.at[O_P:O_P + 3, 0:3].set(Ri_inv)
+    rel_q = quat_multiply(quat_conjugate(corrected_q),
+                          quat_multiply(quat_conjugate(state_i.pose.q),
+                                        state_j.pose.q))
+    J = J.at[O_R:O_R + 3, 3:6].set(quat_left(rel_q)[1:4, 1:4])
+    J = J.at[O_V:O_V + 3, 6:9].set(Ri_inv)
+
+    rw = sqrt_info @ r
+    Jw = sqrt_info @ J
+    return ResidualBlocks(r=rw[None, :], J=Jw[None, :, :],
+                          valid=jnp.ones((1,), bool))
+
+
+def imu_presolve(pre: Preintegration, prev_state: ImuState, gravity: Array,
+                 n_iters: int = 6, info_scale: float = 0.001) -> ImuState:
+    """IMU-only prediction of state j by minimizing the factor from state i
+    (the pre-solve at mapping_scan_matcher.cc:35-61: pose_i/bias_i fixed,
+    pose_j and v_j free, biases_j tied to biases_i)."""
+    from msf_loam_tpu.ops import gauss_newton as gn
+
+    def build(pose_j, v_j):
+        state_j = ImuState(pose_j, v_j, prev_state.ba, prev_state.bg)
+        blocks = imu_factor_blocks(pre, prev_state, state_j, gravity, info_scale)
+        return [blocks], [jnp.ones((1,), jnp.float32)]
+
+    out = gn.gauss_newton(build, prev_state.pose, prev_state.v,
+                          n_iters=n_iters, state_dim=9)
+    return ImuState(out.pose, out.velocity, prev_state.ba, prev_state.bg)

@@ -76,7 +76,8 @@ def accumulate_normal_eqs(blocks_list: Sequence[ResidualBlocks],
         H = H + jnp.einsum("nri,nrj->ij", Jw, blocks.J)
         g = g + jnp.einsum("nri,nr->i", Jw, blocks.r)
         cost = cost + jnp.sum(w * jnp.sum(blocks.r * blocks.r, axis=-1))
-        n_in = n_in + jnp.sum((w > 0).astype(jnp.float32))
+        # count residual ROWS (a single 15-dim IMU block fully constrains)
+        n_in = n_in + jnp.sum((w > 0).astype(jnp.float32)) * blocks.r.shape[-1]
     return H, g, cost, n_in
 
 

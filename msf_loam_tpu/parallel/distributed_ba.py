@@ -1,0 +1,148 @@
+"""Distributed pose-graph bundle adjustment via Schur complement.
+
+The BASELINE.json config-5 component: the trajectory's chain-structured
+pose graph (see ``slam.posegraph``) is partitioned into contiguous segments
+across the mesh ``data`` axis. Each GN iteration:
+
+1. every device assembles its segment's block-tridiagonal system;
+2. eliminates its interior poses, condensing the chain onto its two
+   endpoint poses (a ``lax.scan`` Schur complement — fill-in for a chain is
+   only (first, last));
+3. the tiny separator system (2 poses per segment, itself block-tridiagonal)
+   is all-gathered over ICI and solved identically on every device;
+4. interior poses back-substitute locally in parallel.
+
+The result is EXACT — same update as the single-device solver — with
+O(N/D) sequential work per device plus an O(D)-sized replicated solve.
+No reference analog (single-process, SURVEY.md §2.9); factor semantics are
+gps_fusion.cc:27-97.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+Array = jax.Array
+
+
+def _condense_chain(D: Array, U: Array, b: Array):
+    """Eliminate interior nodes of one chain segment.
+
+    Args:
+      D: (L, 6, 6) diagonal blocks; U: (L-1, 6, 6) couplings; b: (L, 6).
+    Returns:
+      (S00, S0e, See, b0, be): condensed 2-node system on (first, last),
+      plus per-step residues needed for back-substitution:
+      (S0k_seq (L-2, 6, 6), Skk_seq (L-2, 6, 6), bk_seq (L-2, 6)).
+    """
+    L = D.shape[0]
+    if L == 2:
+        empty = jnp.zeros((0, 6, 6))
+        return (D[0], U[0], D[1], b[0], b[1],
+                empty, empty, jnp.zeros((0, 6)))
+
+    def step(carry, inp):
+        S00, S0k, Skk, b0, bk = carry
+        D_next, U_k, b_next = inp
+        # eliminate node k (coupled to 0 via S0k, to k+1 via U_k)
+        Skk_inv_S0kT = jnp.linalg.solve(Skk, S0k.T)     # Skk^-1 S0k^T
+        Skk_inv_Uk = jnp.linalg.solve(Skk, U_k)
+        Skk_inv_bk = jnp.linalg.solve(Skk, bk)
+        S00_new = S00 - S0k @ Skk_inv_S0kT
+        S0k_new = -S0k @ Skk_inv_Uk
+        Skk_new = D_next - U_k.T @ Skk_inv_Uk
+        b0_new = b0 - S0k @ Skk_inv_bk
+        bk_new = b_next - U_k.T @ Skk_inv_bk
+        return (S00_new, S0k_new, Skk_new, b0_new, bk_new), (S0k, Skk, bk)
+
+    init = (D[0], U[0], D[1], b[0], b[1])
+    (S00, S0e, See, b0, be), (S0k_seq, Skk_seq, bk_seq) = jax.lax.scan(
+        step, init, (D[2:], U[1:], b[2:]))
+    return S00, S0e, See, b0, be, S0k_seq, Skk_seq, bk_seq
+
+
+def _backsub_chain(S0k_seq: Array, Skk_seq: Array, bk_seq: Array,
+                   U: Array, x0: Array, xe: Array, L: int) -> Array:
+    """Recover interior nodes given endpoint solutions.
+
+    Node k (1..L-2) satisfies (at its elimination step):
+      Skk x_k = bk - S0k^T x0 - U_k x_{k+1}
+    solved in reverse order (x_{L-1} = xe known).
+    """
+    if L == 2:
+        return jnp.stack([x0, xe])
+
+    def step(x_next, inp):
+        S0k, Skk, bk, U_k = inp
+        x_k = jnp.linalg.solve(Skk, bk - S0k.T @ x0 - U_k @ x_next)
+        return x_k, x_k
+
+    # elimination step i handled node i+1 with U_{i+1}; reverse over i
+    _, xs = jax.lax.scan(step, xe, (S0k_seq, Skk_seq, bk_seq, U[1:]),
+                         reverse=True)
+    return jnp.concatenate([x0[None], xs, xe[None]], axis=0)
+
+
+def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array:
+    """Exact block-tridiagonal solve with segments sharded over 'data'.
+
+    Args:
+      D: (N, 6, 6), U: (N-1, 6, 6), b: (N, 6); N divisible by n_devices,
+      segment length >= 2.
+    """
+    N = D.shape[0]
+    n_dev = mesh.shape["data"]
+    L = N // n_dev
+    assert L >= 2, "segments must hold at least 2 poses"
+    # pad U to length N so it shards evenly; U_pad[i] couples i and i+1,
+    # the segment-local slice U_pad[sL : sL+L-1] is intra-segment, and
+    # U_pad[sL+L-1] is the boundary coupling to the next segment.
+    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None), P("data", None)),
+        out_specs=P("data", None),
+        # the separator solve mixes all-gathered (replicated) values with
+        # device-varying ones inside lax.scan carries; skip the static VMA
+        # check (results are exact — verified against the dense solve)
+        check_vma=False,
+    )
+    def _solve(D_seg, U_seg, b_seg):
+        # shard_map gives the local block with leading dim L
+        Dl, Ul, bl = D_seg, U_seg[:-1], b_seg        # Ul: intra-segment
+        U_bound = U_seg[-1]                           # to next segment
+        S00, S0e, See, b0, be, S0k_seq, Skk_seq, bk_seq = _condense_chain(
+            Dl, Ul, bl)
+
+        # separator system over 2 nodes/segment: (first_s, last_s) chained
+        # by condensed S0e and boundary couplings U_bound
+        sep_D = jax.lax.all_gather(jnp.stack([S00, See]), "data")   # (D,2,6,6)
+        sep_U1 = jax.lax.all_gather(S0e, "data")                    # (D,6,6)
+        sep_Ub = jax.lax.all_gather(U_bound, "data")                # (D,6,6)
+        sep_b = jax.lax.all_gather(jnp.stack([b0, be]), "data")     # (D,2,6)
+        n_seg = sep_D.shape[0]
+        Dg = sep_D.reshape(2 * n_seg, 6, 6)
+        bg = sep_b.reshape(2 * n_seg, 6)
+        # off-diagonals alternate: within-segment S0e, then boundary U
+        Ug = jnp.zeros((2 * n_seg - 1, 6, 6))
+        Ug = Ug.at[0::2].set(sep_U1)
+        Ug = Ug.at[1::2].set(sep_Ub[:-1])
+
+        from msf_loam_tpu.slam.posegraph import solve_block_tridiag
+        xg = solve_block_tridiag(Dg, Ug, bg)          # (2D, 6) replicated
+
+        s = jax.lax.axis_index("data")
+        x0 = xg[2 * s]
+        xe = xg[2 * s + 1]
+        # account for the boundary coupling to neighbors in the local rhs:
+        # interior back-substitution only needs x0, xe (chain structure)
+        x_seg = _backsub_chain(S0k_seq, Skk_seq, bk_seq, Ul, x0, xe, Dl.shape[0])
+        return x_seg
+
+    return _solve(D, U_pad, b)

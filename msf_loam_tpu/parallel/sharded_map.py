@@ -1,0 +1,170 @@
+"""Device-sharded voxel hash map: map-parallel insert + query.
+
+The "sharded mapping" configuration of BASELINE.json (map-block partition
+across devices). The hash-table axis H of ``slam.voxel_map.VoxelHashMap``
+is split over the mesh's ``map`` axis; each device owns the slot range
+[d*H/D, (d+1)*H/D):
+
+* **insert** — every device sees the full scan, keeps only the points whose
+  target slot it owns, and inserts locally. Zero communication (the scatter
+  IS the routing).
+* **query**  — queries are replicated; each device answers k-NN from its
+  shard (non-owned neighbor cells are masked out) and the per-device
+  candidate sets merge with an ``all_gather`` over the map axis followed by
+  a local top-k. k-NN is associative under top-k merge, so the result is
+  exactly the single-device answer.
+
+Replaces: HybridGrid sharding has no reference analog (single-process,
+SURVEY.md §2.9) — the semantics mirrored are hybrid_grid.cc:462-534 per
+shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msf_loam_tpu.slam import voxel_map as vm
+from msf_loam_tpu.slam.voxel_map import VoxelHashMap, _OFFSETS, _hash_cells
+
+Array = jax.Array
+
+
+def create_sharded_map(mesh: Mesh, table_size: int, slab_capacity: int,
+                       cell_size: float, leaf: float) -> VoxelHashMap:
+    """Create a map whose hash-table axis is sharded over mesh axis 'map'."""
+    n_shards = mesh.shape["map"]
+    assert table_size % n_shards == 0
+    m = vm.create_map(table_size, slab_capacity, cell_size, leaf)
+    shard = NamedSharding(mesh, P("map"))
+    rep = NamedSharding(mesh, P())
+    return VoxelHashMap(
+        points=jax.device_put(m.points, shard),
+        leaf_key=jax.device_put(m.leaf_key, shard),
+        count=jax.device_put(m.count, shard),
+        cell_size=jax.device_put(m.cell_size, rep),
+        leaf=jax.device_put(m.leaf, rep),
+    )
+
+
+def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
+                   mask: Array) -> VoxelHashMap:
+    """Insert world points into the sharded map (owner-routes scatter)."""
+    H = vmap_state.table_size
+    n_shards = mesh.shape["map"]
+    h_local = H // n_shards
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("map", None, None), P("map", None), P("map"),
+                  P(), P(), P(), P()),
+        out_specs=(P("map", None, None), P("map", None), P("map")),
+    )
+    def _insert(points, leaf_key, count, cell_size, leaf, pts, pmask):
+        shard_id = jax.lax.axis_index("map")
+        local = VoxelHashMap(points, leaf_key, count, cell_size, leaf)
+        cells = jnp.floor(pts / cell_size).astype(jnp.int32)
+        slot = _hash_cells(cells, H)
+        own = (slot >= shard_id * h_local) & (slot < (shard_id + 1) * h_local)
+        # insert with LOCAL slot ids: shift the hash into shard-local space
+        out = _insert_local(local, pts, pmask & own, slot - shard_id * h_local)
+        return out.points, out.leaf_key, out.count
+
+    points, leaf_key, count = _insert(
+        vmap_state.points, vmap_state.leaf_key, vmap_state.count,
+        vmap_state.cell_size, vmap_state.leaf, xyz, mask)
+    return vmap_state._replace(points=points, leaf_key=leaf_key, count=count)
+
+
+def _insert_local(local: VoxelHashMap, xyz: Array, keep_mask: Array,
+                  slot: Array) -> VoxelHashMap:
+    """Slot-explicit variant of voxel_map.insert (same dedup semantics)."""
+    P_ = local.slab_capacity
+    Hl = local.points.shape[0]
+    n = xyz.shape[0]
+    keep = vm._dedup_batch(xyz, keep_mask, local.leaf)
+    lkey = vm._leaf_key_dyn(xyz, local.leaf)
+
+    safe_slot = jnp.clip(slot, 0, Hl - 1)
+    slab_keys = local.leaf_key[safe_slot]
+    occup = jnp.arange(P_)[None, :] < local.count[safe_slot][:, None]
+    dup = jnp.any((slab_keys == lkey[:, None]) & occup, axis=1)
+    keep = keep & ~dup
+
+    sent = jnp.int32(Hl)
+    key = jnp.where(keep, safe_slot, sent)
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    pos = jnp.arange(n)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        (pos - seg_start).astype(jnp.int32))
+
+    dest = local.count[safe_slot] + rank
+    ok = keep & (dest < P_)
+    w_slot = jnp.where(ok, safe_slot, Hl)
+    w_dest = jnp.where(ok, dest, 0)
+    new_points = local.points.at[w_slot, w_dest].set(xyz, mode="drop")
+    new_keys = local.leaf_key.at[w_slot, w_dest].set(lkey, mode="drop")
+    new_count = jnp.minimum(
+        local.count.at[w_slot].add(ok.astype(jnp.int32), mode="drop"), P_)
+    return local._replace(points=new_points, leaf_key=new_keys, count=new_count)
+
+
+def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
+                      query_mask: Array, k: int = 5
+                      ) -> Tuple[Array, Array, Array]:
+    """k-NN against the sharded map; exact via per-shard top-k + all_gather
+    merge over the ICI."""
+    H = vmap_state.table_size
+    n_shards = mesh.shape["map"]
+    h_local = H // n_shards
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("map", None, None), P("map", None), P("map"),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # outputs are replicated by construction (identical post-all_gather
+        # top-k on every shard) but the static VMA check can't see that
+        check_vma=False,
+    )
+    def _query(points, leaf_key, count, cell_size, leaf, q, qmask):
+        shard_id = jax.lax.axis_index("map")
+        Q = q.shape[0]
+        P_ = points.shape[1]
+        cells = jnp.floor(q / cell_size).astype(jnp.int32)
+        ncells = cells[:, None, :] + _OFFSETS[None, :, :]
+        slots = _hash_cells(ncells, H)                       # (Q, 27) global
+        own = (slots >= shard_id * h_local) & (slots < (shard_id + 1) * h_local)
+        lslots = jnp.clip(slots - shard_id * h_local, 0, h_local - 1)
+        cand = points[lslots]                                # (Q, 27, P, 3)
+        occup = (jnp.arange(P_)[None, None, :] < count[lslots][:, :, None]) \
+            & own[:, :, None]
+        diff = cand - q[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(occup, d2, jnp.float32(3e38)).reshape(Q, -1)
+        neg_top, arg = jax.lax.top_k(-d2, k)
+        local_d2 = -neg_top
+        local_xyz = jnp.take_along_axis(
+            cand.reshape(Q, -1, 3), arg[..., None], axis=1)
+
+        # merge across shards: all_gather candidates, local re-top-k
+        all_d2 = jax.lax.all_gather(local_d2, "map", axis=0)    # (D, Q, k)
+        all_xyz = jax.lax.all_gather(local_xyz, "map", axis=0)  # (D, Q, k, 3)
+        D = all_d2.shape[0]
+        all_d2 = jnp.moveaxis(all_d2, 0, 1).reshape(Q, D * k)
+        all_xyz = jnp.moveaxis(all_xyz, 0, 1).reshape(Q, D * k, 3)
+        neg_top2, arg2 = jax.lax.top_k(-all_d2, k)
+        top_d2 = -neg_top2
+        top_xyz = jnp.take_along_axis(all_xyz, arg2[..., None], axis=1)
+        valid = (top_d2 < 1e37) & qmask[:, None]
+        return top_d2, top_xyz, valid
+
+    return _query(vmap_state.points, vmap_state.leaf_key, vmap_state.count,
+                  vmap_state.cell_size, vmap_state.leaf, query, query_mask)

@@ -26,6 +26,11 @@ from msf_loam_tpu.config import MsfLoamConfig
 from msf_loam_tpu.core.pointcloud import PointBatch, ScanFeatures
 from msf_loam_tpu.core.se3 import Pose
 from msf_loam_tpu.core.timing import StageTimers
+from msf_loam_tpu.imu import deskew as deskew_mod
+from msf_loam_tpu.imu import gravity_init
+from msf_loam_tpu.imu import imu_factor as imu_factor_mod
+from msf_loam_tpu.imu import preintegration as preint_mod
+from msf_loam_tpu.imu.buffer import ImuBuffer
 from msf_loam_tpu.ops.voxel import voxel_downsample_masked
 from msf_loam_tpu.slam import mapping, odometry, voxel_map
 
@@ -74,10 +79,82 @@ class SlamPipeline:
         self.prev_scan: Optional[ScanFeatures] = None
         self.results: List[FrameResult] = []
         self.frame_idx = 0
+        # --- IMU / estimator state (Estimator, estimator.h:21-62) ---
+        self.imu_buffer = ImuBuffer()
+        self.velocity = jnp.zeros(3, jnp.float32)
+        self.gravity = jnp.asarray(config.imu.gravity, dtype=jnp.float32)
+        self.is_initialized = False            # estimator is_initialized_
+        self._states: List[dict] = []          # RobotState window for init
+        self._prev_state_time: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    def add_imu(self, t: float, acc, gyr) -> None:
+        """Feed one IMU sample (AddImu path, laser_mapping.cc:403-416)."""
+        self.imu_buffer.add(t, acc, gyr)
+
+    @property
+    def has_imu(self) -> bool:
+        """IMU warm-up gate (>100 msgs before lidar is used,
+        msf_loam_node.cc:380-389)."""
+        return len(self.imu_buffer) > self.cfg.imu.warmup_msgs
+
+    def _preintegrate_window(self, start: float, end: float):
+        w = self.imu_buffer.window(start, end, self.cfg.imu.max_imu_samples,
+                                   self.cfg.imu.max_lidar_imu_offset)
+        return preint_mod.preintegrate(
+            jnp.asarray(w.dts), jnp.asarray(w.accs), jnp.asarray(w.gyrs),
+            jnp.asarray(w.valid), jnp.zeros(3, jnp.float32),
+            jnp.zeros(3, jnp.float32), self.cfg.imu)
+
+    def _estimator_add(self, time: float, pose: Pose, velocity) -> None:
+        """Estimator::AddData (estimator.cc:56-111): collect states; at
+        init_frames run the gravity/velocity solve."""
+        icfg = self.cfg.imu
+        st = dict(time=time, p=np.asarray(pose.t, np.float32),
+                  q=np.asarray(pose.q, np.float32),
+                  v=np.asarray(velocity, np.float32),
+                  delta_p=None, delta_v=None)
+        if self._states:
+            prev = self._states[-1]
+            pre = self._preintegrate_window(prev["time"], time)
+            prev["delta_p"] = np.asarray(pre.delta_p)
+            prev["delta_v"] = np.asarray(pre.delta_v)
+        self._states.append(st)
+        if len(self._states) == icfg.init_frames and not self.is_initialized:
+            N = len(self._states)
+            p = np.asarray([s["p"] for s in self._states], np.float32)
+            q = np.asarray([s["q"] for s in self._states], np.float32)
+            dt = np.asarray([self._states[i + 1]["time"] - self._states[i]["time"]
+                             for i in range(N - 1)], np.float32)
+            dps = np.asarray([self._states[i]["delta_p"] for i in range(N - 1)],
+                             np.float32)
+            dvs = np.asarray([self._states[i]["delta_v"] for i in range(N - 1)],
+                             np.float32)
+            ok = np.isfinite(dps).all(axis=1) & (dt > 1e-6)
+            out = gravity_init.solve_gravity_velocity(
+                jnp.asarray(p), jnp.asarray(q), jnp.asarray(dt),
+                jnp.asarray(dps), jnp.asarray(dvs), jnp.asarray(ok),
+                self.gravity, n_frames=N,
+                reject_frac=icfg.init_reject_frac)
+            self.gravity = out.gravity
+            self.velocity = out.velocities[-1]
+            for i, s in enumerate(self._states):
+                s["v"] = np.asarray(out.velocities[i])
+            self.is_initialized = True
 
     # ------------------------------------------------------------------
     def process_scan(self, scan: ScanFeatures) -> FrameResult:
         cfg = self.cfg
+        scan_time = float(scan.time)
+        use_imu = self.has_imu
+
+        # pre-init rotation-only deskew (laser_mapping.cc:171-177)
+        if use_imu and not self.is_initialized:
+            pre_scan = self._preintegrate_window(
+                scan_time, scan_time + cfg.features.scan_period)
+            if int(pre_scan.n_samples) > 0:
+                scan = deskew_mod.undistort_scan_rotation_only(scan, pre_scan)
+
         with self.timers.stage("ODO", "scan-to-scan"):
             if self.prev_scan is None:
                 odom_ok = True
@@ -102,20 +179,57 @@ class SlamPipeline:
         with self.timers.stage("MAP", "scan-to-map"):
             # TransformAssociateToMap (laser_mapping.h:55)
             pose_guess = self.pose_odom2map.compose(self.pose_odom)
-            mres = mapping.match_scan2map(
-                self.corner_map, self.surf_map, corner_ds, surf_ds,
-                pose_guess, cfg.mapping)
+            pre_scan = None
+            if use_imu and self.is_initialized and self._states:
+                # tightly-coupled branch (mapping_scan_matcher.cc:35-61,
+                # 109-246): IMU-only pre-solve from the previous mapped
+                # state, then deskew-aware lidar GN.
+                prev = self._states[-1]
+                pre_pair = self._preintegrate_window(prev["time"], scan_time)
+                prev_state = imu_factor_mod.ImuState(
+                    pose=Pose(jnp.asarray(prev["p"]), jnp.asarray(prev["q"])),
+                    v=jnp.asarray(prev["v"]), ba=jnp.zeros(3), bg=jnp.zeros(3))
+                pred = imu_factor_mod.imu_presolve(
+                    pre_pair, prev_state, self.gravity,
+                    info_scale=cfg.imu.sqrt_info_scale)
+                self.velocity = pred.v
+                pre_scan = self._preintegrate_window(
+                    scan_time, scan_time + cfg.features.scan_period)
+                corner_dk = deskew_mod.deskew_terms(
+                    pre_scan, corner_ds.rel_time, self.gravity)
+                surf_dk = deskew_mod.deskew_terms(
+                    pre_scan, surf_ds.rel_time, self.gravity)
+                mres = mapping.match_scan2map_deskew(
+                    self.corner_map, self.surf_map, corner_ds, surf_ds,
+                    pred.pose, self.velocity, self.gravity,
+                    corner_dk, surf_dk, cfg.mapping)
+            else:
+                mres = mapping.match_scan2map(
+                    self.corner_map, self.surf_map, corner_ds, surf_ds,
+                    pose_guess, cfg.mapping)
             self.pose_map = mres.pose if bool(mres.ok) else pose_guess
             # TransformUpdate (laser_mapping.h:59)
             self.pose_odom2map = self.pose_map.compose(self.pose_odom.inverse())
 
         with self.timers.stage("MAP", "insert"):
+            if use_imu and self.is_initialized and pre_scan is not None:
+                # full deskew before insertion (laser_mapping.cc:197-211)
+                corner_ds = deskew_mod.undistort_full(
+                    corner_ds, pre_scan, self.pose_map, self.velocity,
+                    self.gravity)
+                surf_ds = deskew_mod.undistort_full(
+                    surf_ds, pre_scan, self.pose_map, self.velocity,
+                    self.gravity)
             corner_w = corner_ds.transform(self.pose_map)
             surf_w = surf_ds.transform(self.pose_map)
             self.corner_map = voxel_map.insert(
                 self.corner_map, corner_w.xyz, corner_w.mask)
             self.surf_map = voxel_map.insert(
                 self.surf_map, surf_w.xyz, surf_w.mask)
+
+        if use_imu:
+            with self.timers.stage("EST", "add-data"):
+                self._estimator_add(scan_time, self.pose_map, self.velocity)
 
         self.prev_scan = scan
         self.frame_idx += 1

@@ -1,0 +1,105 @@
+"""LIO (tightly-coupled LiDAR-IMU) pipeline on motion-distorted synthetic
+scans: estimator init, gravity recovery, deskewed tracking."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.config import (FeatureConfig, ImuConfig, MappingConfig,
+                                 MsfLoamConfig)
+from msf_loam_tpu.dataio import preprocess, synthetic
+from msf_loam_tpu.ops import features
+from msf_loam_tpu.slam.pipeline import SlamPipeline, ate_rmse
+
+FCFG = FeatureConfig(max_points_per_ring=2048, max_less_flat=4096)
+WORLD = synthetic.World.corridor(seed=0, size=12.0)
+G = np.array([0.0, 0.0, 9.81])
+
+V0 = np.array([1.2, 0.4, 0.0])   # constant world velocity (m/s)
+YAW_RATE = 0.25                  # rad/s
+IMU_HZ = 400
+FRAME_DT = 0.1
+
+
+def _pose_at(t):
+    yaw = YAW_RATE * t
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    return V0 * t, R
+
+
+def _imu_at(t):
+    """acc_body = R^T (a_w + G) with a_w = 0; gyr = [0,0,yaw_rate]."""
+    _, R = _pose_at(t)
+    return R.T @ G, np.array([0.0, 0.0, YAW_RATE])
+
+
+def _scan_at(t, distort=True, seed=0):
+    p, R = _pose_at(t)
+    kw = dict(linear_vel=V0, yaw_rate=YAW_RATE) if distort else {}
+    xyz, ring = synthetic.simulate_scan(
+        WORLD, p, R, n_rings=16, pts_per_ring=1800, noise=0.004,
+        seed=seed, **kw)
+    img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+    return features.extract_features(img, jnp.float32(t), FCFG)
+
+
+def _config(init_frames=6):
+    return MsfLoamConfig(
+        features=FCFG,
+        mapping=MappingConfig(map_table_size=1 << 13, max_query_points=2048),
+        imu=ImuConfig(init_frames=init_frames, warmup_msgs=10,
+                      max_imu_samples=64),
+    )
+
+
+def _run(n_frames, use_imu, init_frames=6):
+    pipe = SlamPipeline(_config(init_frames))
+    t0 = 1.0  # scans start after some IMU warm-up
+    if use_imu:
+        t = t0 - 0.5
+        while t < t0 + n_frames * FRAME_DT + 0.2:
+            acc, gyr = _imu_at(t)
+            pipe.add_imu(t, acc, gyr)
+            t += 1.0 / IMU_HZ
+    p0, R0 = _pose_at(t0)
+    gt = []
+    for i in range(n_frames):
+        ts = t0 + i * FRAME_DT
+        # ground truth in the first-frame (SLAM origin) coordinate system
+        gt.append(R0.T @ (_pose_at(ts)[0] - p0))
+        pipe.process_scan(_scan_at(ts, distort=True, seed=i))
+    return pipe, np.asarray(gt)
+
+
+def test_lio_initializes_and_recovers_gravity():
+    pipe, gt = _run(n_frames=8, use_imu=True, init_frames=6)
+    assert pipe.is_initialized
+    g = np.asarray(pipe.gravity)
+    np.testing.assert_allclose(np.linalg.norm(g), 9.81, atol=1e-3)
+    # direction within ~6 degrees of true gravity
+    cos = g @ G / (np.linalg.norm(g) * np.linalg.norm(G))
+    assert cos > 0.994, f"gravity direction off: cos={cos}"
+
+
+def test_lio_velocity_estimate():
+    pipe, gt = _run(n_frames=8, use_imu=True, init_frames=6)
+    v = np.asarray(pipe.velocity)
+    _, R0 = _pose_at(1.0)
+    np.testing.assert_allclose(v, R0.T @ V0, atol=0.25)
+
+
+def test_lio_tracks_distorted_scans():
+    n = 9
+    pipe, gt = _run(n_frames=n, use_imu=True, init_frames=6)
+    traj = pipe.trajectory()
+    # gt here is the scan-START pose of each frame
+    err = ate_rmse(traj[:, 1:4], gt, align=False)
+    assert err < 0.12, f"LIO ATE {err:.3f} m"
+
+
+def test_lidar_only_still_works_on_distorted_scans():
+    n = 9
+    pipe, gt = _run(n_frames=n, use_imu=False)
+    traj = pipe.trajectory()
+    err = ate_rmse(traj[:, 1:4], gt, align=False)
+    assert err < 0.25, f"lidar-only ATE {err:.3f} m"

@@ -1,0 +1,92 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: sharded map == dense map,
+data-parallel GN == single-device GN, distributed BA == exact solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.core.se3 import Pose, quat_exp, quat_rotate
+from msf_loam_tpu.parallel import data_parallel, distributed_ba, mesh as mesh_mod
+from msf_loam_tpu.parallel import sharded_map
+from msf_loam_tpu.slam import posegraph, voxel_map
+
+RNG = np.random.default_rng(31)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_map_matches_dense():
+    mesh = mesh_mod.make_mesh(n_map=8, n_data=1)
+    H, P_, cell, leaf = 1 << 12, 16, 2.0, 0.2
+    pts = RNG.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    mask = np.ones(3000, bool)
+
+    dense = voxel_map.create_map(H, P_, cell, leaf)
+    dense = voxel_map.insert(dense, jnp.asarray(pts), jnp.asarray(mask))
+
+    shard = sharded_map.create_sharded_map(mesh, H, P_, cell, leaf)
+    shard = sharded_map.sharded_insert(mesh, shard, jnp.asarray(pts),
+                                       jnp.asarray(mask))
+    assert int(shard.count.sum()) == int(dense.count.sum())
+
+    q = RNG.uniform(-9, 9, size=(128, 3)).astype(np.float32)
+    d2_d, xyz_d, val_d = voxel_map.query_knn(dense, jnp.asarray(q),
+                                             jnp.ones(128, bool), k=5)
+    d2_s, xyz_s, val_s = sharded_map.sharded_query_knn(
+        mesh, shard, jnp.asarray(q), jnp.ones(128, bool), k=5)
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_d))
+
+
+def test_dp_gauss_newton_matches_single_device():
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)
+    n = 800
+    true_pose = Pose(
+        t=jnp.asarray(RNG.normal(size=3).astype(np.float32)) * 0.4,
+        q=quat_exp(jnp.asarray(RNG.normal(size=3).astype(np.float32)) * 0.15))
+    normals = RNG.normal(size=(n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pw = RNG.normal(size=(n, 3)).astype(np.float32) * 5
+    inv = true_pose.inverse()
+    ps = np.asarray(jax.vmap(lambda x: quat_rotate(inv.q, x) + inv.t)(
+        jnp.asarray(pw)))
+
+    out = data_parallel.dp_gauss_newton_plane(
+        mesh, Pose.identity(), jnp.asarray(ps), jnp.asarray(pw),
+        jnp.asarray(normals), jnp.ones(n, bool), n_iters=8)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(true_pose.t),
+                               atol=2e-3)
+    assert abs(float(jnp.sum(out.q * true_pose.q))) > 0.99999
+
+
+def test_distributed_tridiag_matches_exact():
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)
+    N = 64  # 8 segments x 8 poses
+    D = RNG.normal(size=(N, 6, 6)).astype(np.float32)
+    D = np.einsum("nij,nkj->nik", D, D) + 8 * np.eye(6, dtype=np.float32)
+    U = (RNG.normal(size=(N - 1, 6, 6)) * 0.3).astype(np.float32)
+    b = RNG.normal(size=(N, 6)).astype(np.float32)
+
+    want = posegraph.solve_block_tridiag(jnp.asarray(D), jnp.asarray(U),
+                                         jnp.asarray(b))
+    got = distributed_ba.distributed_tridiag_solve(
+        mesh, jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_distributed_tridiag_short_segments():
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)
+    N = 16  # segments of length 2 (endpoint-only, no interior)
+    D = np.stack([np.eye(6, dtype=np.float32) * 4 for _ in range(N)])
+    U = np.stack([np.eye(6, dtype=np.float32) * 0.5 for _ in range(N - 1)])
+    b = RNG.normal(size=(N, 6)).astype(np.float32)
+    want = posegraph.solve_block_tridiag(jnp.asarray(D), jnp.asarray(U),
+                                         jnp.asarray(b))
+    got = distributed_ba.distributed_tridiag_solve(
+        mesh, jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
