@@ -62,11 +62,12 @@ def main(argv=None) -> int:
     est_t, gt_t = est_t[:n], gt_t[:n]
     gt_t = gt_t - gt_t[0]
 
+    rpe_val = rpe(est_t, gt_t, args.rpe_delta)
     out = {
         "frames": n,
         "ate_rmse_m": round(ate_rmse(est_t, gt_t, align=False), 4),
         "ate_rmse_aligned_m": round(ate_rmse(est_t, gt_t, align=True), 4),
-        f"rpe_{args.rpe_delta}_m": round(rpe(est_t, gt_t, args.rpe_delta), 4),
+        f"rpe_{args.rpe_delta}_m": None if np.isnan(rpe_val) else round(rpe_val, 4),
         "trajectory_length_m": round(float(
             np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()), 1),
     }

@@ -110,21 +110,23 @@ def main(argv=None) -> int:
         pipe = SlamPipeline(cfg)
         end = args.max_frames or len(seq)
         counter = 0
-        for frame in seq.frames(0, end):
-            img = preprocess.preprocess_scan(frame.xyz, frame.ring,
-                                             cfg.features, args.n_rings)
+        # native C++ prefetcher feeds preprocessed ring images when built
+        for index, t_scan, img in seq.ring_images(
+                cfg.features.max_points_per_ring, cfg.features.min_range,
+                cfg.features.scan_period, end=end):
             feats = feat_mod.extract_features(
-                img, jnp.float32(frame.time), cfg.features)
+                img, jnp.float32(t_scan), cfg.features)
             res = pipe.process_scan(feats)
-            if frame.gt_pose is not None:
-                gt_t.append(frame.gt_pose[:3, 3])
+            if seq.gt_poses is not None:
+                gt_pose = seq.gt_poses[index]
+                gt_t.append(gt_pose[:3, 3])
                 counter += 1
                 if args.sim_gps and counter % cfg.posegraph.sim_gps_period == 0:
-                    gps_times.append(frame.time)
-                    gps_xyz.append(frame.gt_pose[:3, 3] + rng.uniform(
+                    gps_times.append(t_scan)
+                    gps_xyz.append(gt_pose[:3, 3] + rng.uniform(
                         -cfg.posegraph.sim_gps_noise,
                         cfg.posegraph.sim_gps_noise, 3))
-            logger.info("frame %d: t=%s corr=%d", frame.index,
+            logger.info("frame %d: t=%s corr=%d", index,
                         np.round(np.asarray(res.map_pose.t), 2),
                         int(res.n_correspondences))
 

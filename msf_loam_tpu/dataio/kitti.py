@@ -99,6 +99,43 @@ class KittiSequence:
         for i in range(start, end):
             yield self.read_frame(i)
 
+    def ring_images(self, width: int, min_range: float = 0.3,
+                    scan_period: float = 0.1, end: Optional[int] = None,
+                    n_threads: int = 3):
+        """Iterate preprocessed (index, time, RingImage) using the native
+        C++ prefetcher when available (read + ingest off the Python thread),
+        falling back to numpy."""
+        import jax.numpy as jnp
+
+        from msf_loam_tpu.core.pointcloud import RingImage
+
+        end = len(self) if end is None else min(end, len(self))
+        try:
+            from msf_loam_tpu import runtime
+            use_native = runtime.available()
+        except Exception:
+            use_native = False
+
+        if use_native:
+            from msf_loam_tpu import runtime
+            pf = runtime.Prefetcher(self.velodyne_dir, end, self.n_rings,
+                                    width, min_range, scan_period,
+                                    n_threads=n_threads)
+            try:
+                for idx, xyz, rel, mask, _ in pf:
+                    yield idx, float(self.times[idx]), RingImage(
+                        jnp.asarray(xyz), jnp.asarray(rel), jnp.asarray(mask))
+            finally:
+                pf.close()
+        else:
+            from msf_loam_tpu.dataio import preprocess as pp
+
+            for f in self.frames(0, end):
+                xyz, ring = pp.remove_invalid_points(f.xyz, min_range, (f.ring,))
+                rel = pp.compute_relative_time(xyz, ring, scan_period)
+                img = pp.build_ring_image(xyz, ring, rel, self.n_rings, width)
+                yield f.index, f.time, img
+
 
 def write_kitti_frame(path: str, xyz: np.ndarray,
                       intensity: Optional[np.ndarray] = None) -> None:

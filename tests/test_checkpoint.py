@@ -1,0 +1,71 @@
+"""Checkpoint/resume: a resumed pipeline must continue bit-for-bit like an
+uninterrupted one."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.config import FeatureConfig, MappingConfig, MsfLoamConfig
+from msf_loam_tpu.dataio import preprocess, synthetic
+from msf_loam_tpu.ops import features
+from msf_loam_tpu.slam import checkpoint
+from msf_loam_tpu.slam.pipeline import SlamPipeline
+
+FCFG = FeatureConfig(max_points_per_ring=2048, max_less_flat=4096)
+WORLD = synthetic.World.corridor(seed=0, size=12.0)
+
+
+def _config():
+    return MsfLoamConfig(
+        features=FCFG,
+        mapping=MappingConfig(map_table_size=1 << 12, max_query_points=2048))
+
+
+def _scan(i):
+    t = np.array([0.25 * i, 0.0, 0.0])
+    xyz, ring = synthetic.simulate_scan(WORLD, t, np.eye(3), n_rings=16,
+                                        pts_per_ring=1800, noise=0.004, seed=i)
+    img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+    return features.extract_features(img, jnp.float32(0.1 * i), FCFG)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    scans = [_scan(i) for i in range(6)]
+
+    # uninterrupted
+    pipe_a = SlamPipeline(_config())
+    for s in scans:
+        pipe_a.process_scan(s)
+
+    # interrupted at frame 3, checkpointed, resumed in a new pipeline
+    pipe_b1 = SlamPipeline(_config())
+    for s in scans[:3]:
+        pipe_b1.process_scan(s)
+    ckpt = str(tmp_path / "state.npz")
+    checkpoint.save_checkpoint(pipe_b1, ckpt)
+
+    pipe_b2 = SlamPipeline(_config())
+    checkpoint.load_checkpoint(pipe_b2, ckpt)
+    assert pipe_b2.frame_idx == 3
+    assert int(pipe_b2.corner_map.total_points()) == \
+        int(pipe_b1.corner_map.total_points())
+    # resume needs the previous scan for scan-to-scan matching
+    pipe_b2.prev_scan = scans[2]
+    for s in scans[3:]:
+        pipe_b2.process_scan(s)
+
+    np.testing.assert_allclose(np.asarray(pipe_b2.pose_map.t),
+                               np.asarray(pipe_a.pose_map.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pipe_b2.pose_map.q),
+                               np.asarray(pipe_a.pose_map.q), atol=1e-4)
+
+
+def test_checkpoint_atomic_overwrite(tmp_path):
+    pipe = SlamPipeline(_config())
+    pipe.process_scan(_scan(0))
+    ckpt = str(tmp_path / "state.npz")
+    checkpoint.save_checkpoint(pipe, ckpt)
+    pipe.process_scan(_scan(1))
+    checkpoint.save_checkpoint(pipe, ckpt)  # overwrite in place
+    pipe2 = SlamPipeline(_config())
+    checkpoint.load_checkpoint(pipe2, ckpt)
+    assert pipe2.frame_idx == 2
