@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from msf_loam_tpu.slam import voxel_map as vm
-from msf_loam_tpu.slam.voxel_map import VoxelHashMap, _OFFSETS, _hash_cells
+from msf_loam_tpu.slam.voxel_map import (VoxelHashMap, _hash_cells,
+                                         neighbor_cells8)
 
 Array = jax.Array
 
@@ -138,17 +139,18 @@ def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
         shard_id = jax.lax.axis_index("map")
         Q = q.shape[0]
         P_ = points.shape[1]
-        cells = jnp.floor(q / cell_size).astype(jnp.int32)
-        ncells = cells[:, None, :] + _OFFSETS[None, :, :]
-        slots = _hash_cells(ncells, H)                       # (Q, 27) global
+        ncells = neighbor_cells8(q, cell_size)               # (Q, 8, 3)
+        slots = _hash_cells(ncells, H)                       # (Q, 8) global
         own = (slots >= shard_id * h_local) & (slots < (shard_id + 1) * h_local)
         lslots = jnp.clip(slots - shard_id * h_local, 0, h_local - 1)
-        cand = points[lslots]                                # (Q, 27, P, 3)
+        cand = points[lslots]                                # (Q, 8, P, 3)
         occup = (jnp.arange(P_)[None, None, :] < count[lslots][:, :, None]) \
             & own[:, :, None]
         diff = cand - q[:, None, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
-        d2 = jnp.where(occup, d2, jnp.float32(3e38)).reshape(Q, -1)
+        radius_sq = (cell_size * 0.5) ** 2
+        keep = occup & (d2 <= radius_sq)
+        d2 = jnp.where(keep, d2, jnp.float32(3e38)).reshape(Q, -1)
         neg_top, arg = jax.lax.top_k(-d2, k)
         local_d2 = -neg_top
         local_xyz = jnp.take_along_axis(

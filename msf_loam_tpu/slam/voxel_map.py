@@ -145,28 +145,55 @@ def _leaf_key_dyn(xyz: Array, leaf: Array, origin: float = 8192.0) -> Array:
     return k.astype(jnp.int32)
 
 
+# corner offsets of a 2x2x2 cell block, shaped (8, 3)
+_OFFSETS8 = jnp.stack(jnp.meshgrid(
+    jnp.arange(2), jnp.arange(2), jnp.arange(2),
+    indexing="ij"), axis=-1).reshape(-1, 3)
+
+
+def neighbor_cells8(q: Array, cell_size: Array) -> Array:
+    """The 8 cells that can contain any point within cell_size/2 of q.
+
+    For a search radius r <= cell_size/2, the ball around q intersects at
+    most 2 cells per axis — the cell of q plus the neighbor on the side of
+    q's octant. A 3.4x candidate reduction vs the naive 27-neighborhood.
+    Returns (Q, 8, 3) int32 cell coords.
+    """
+    cf = q / cell_size
+    base = jnp.floor(cf)
+    frac = cf - base
+    low = base.astype(jnp.int32) + jnp.where(frac < 0.5, -1, 0)  # (Q, 3)
+    return low[:, None, :] + _OFFSETS8[None, :, :]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def query_knn(vmap: VoxelHashMap, query: Array, query_mask: Array,
               k: int = 5) -> Tuple[Array, Array, Array]:
-    """k nearest map points for each query (world frame).
+    """k nearest map points (within cell_size/2) for each query.
 
-    Gathers the 27-cell neighborhood slabs around each query point and
-    top-k's by distance — the batched analog of GetSurroundedCloud + 5-NN
-    KD-tree search (hybrid_grid.cc:470-501 + mapping_scan_matcher.cc:125).
+    Gathers the 8-cell octant neighborhood slabs around each query point
+    and top-k's by distance — the batched analog of GetSurroundedCloud +
+    5-NN KD-tree search (hybrid_grid.cc:470-501 + mapping_scan_matcher.cc:
+    125). Complete out to radius cell_size/2, which must cover the
+    downstream distance gate (knn_dist_sq_max <= (cell_size/2)^2 — the
+    reference gates at d^2 < 1.0 with our default 2.0 m cells).
 
     Returns (d2 (Q,k), xyz (Q,k,3), valid (Q,k)).
     """
     H, P = vmap.table_size, vmap.slab_capacity
     q = query.astype(jnp.float32)
-    cells = jnp.floor(q / vmap.cell_size).astype(jnp.int32)      # (Q, 3)
-    ncells = cells[:, None, :] + _OFFSETS[None, :, :]            # (Q, 27, 3)
-    slots = _hash_cells(ncells, H)                               # (Q, 27)
+    ncells = neighbor_cells8(q, vmap.cell_size)                  # (Q, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 8)
 
-    cand = vmap.points[slots]                                    # (Q, 27, P, 3)
+    cand = vmap.points[slots]                                    # (Q, 8, P, 3)
     occup = jnp.arange(P)[None, None, :] < vmap.count[slots][:, :, None]
     diff = cand - q[:, None, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(occup, d2, jnp.float32(3e38)).reshape(q.shape[0], -1)
+    # enforce the completeness radius so results are order-identical to an
+    # exact kNN truncated at cell_size/2
+    radius_sq = (vmap.cell_size * 0.5) ** 2
+    keep = occup & (d2 <= radius_sq)
+    d2 = jnp.where(keep, d2, jnp.float32(3e38)).reshape(q.shape[0], -1)
 
     neg_top, arg = jax.lax.top_k(-d2, k)
     top_d2 = -neg_top

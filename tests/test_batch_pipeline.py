@@ -1,0 +1,81 @@
+"""Batched multi-sequence pipeline: B trajectories tracked in one program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msf_loam_tpu.config import (FeatureConfig, MappingConfig, MsfLoamConfig,
+                                 OdometryConfig)
+from msf_loam_tpu.core.pointcloud import RingImage
+from msf_loam_tpu.dataio import preprocess, synthetic
+from msf_loam_tpu.slam import batch_pipeline
+from msf_loam_tpu.slam.pipeline import ate_rmse
+
+FCFG = FeatureConfig(max_points_per_ring=1024, max_less_flat=4096)
+CFG = MsfLoamConfig(
+    features=FCFG,
+    mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
+                          max_query_points=1024),
+)
+
+
+def _make_batch(T=5, B=2):
+    """B worlds, T frames each, distinct trajectories."""
+    imgs, gts = [], []
+    for b in range(B):
+        world = synthetic.World.corridor(seed=b, size=12.0)
+        step = np.array([0.25, 0.05 * (b + 1), 0.0])
+        seq_imgs, seq_gt = [], []
+        for i in range(T):
+            t = step * i
+            xyz, ring = synthetic.simulate_scan(world, t, np.eye(3),
+                                                n_rings=16, pts_per_ring=900,
+                                                noise=0.004, seed=10 * b + i)
+            img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+            seq_imgs.append(img)
+            seq_gt.append(t)
+        imgs.append(seq_imgs)
+        gts.append(seq_gt)
+    # stack to (T, B, ...)
+    stack = lambda f: jnp.stack(
+        [jnp.stack([f(imgs[b][t]) for b in range(B)]) for t in range(T)])
+    ring_images = RingImage(
+        xyz=stack(lambda im: im.xyz),
+        rel_time=stack(lambda im: im.rel_time),
+        mask=stack(lambda im: im.mask),
+    )
+    return ring_images, np.asarray(gts)  # gts: (B, T, 3)
+
+
+def test_batch_tracks_two_trajectories():
+    T, B = 5, 2
+    ring_images, gts = _make_batch(T, B)
+    state = batch_pipeline.init_batch_state(CFG, B, n_rings=16)
+    state, poses = batch_pipeline.run_batch(CFG, state, ring_images)
+    est = np.asarray(poses.t)  # (T, B, 3)
+    for b in range(B):
+        err = ate_rmse(est[:, b], gts[b], align=False)
+        assert err < 0.08, f"seq {b}: ATE {err:.3f}"
+    assert int(state.frame_idx) == T
+
+
+def test_batch_matches_single_pipeline_roughly():
+    """Batched path should land near the sequential SlamPipeline result."""
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.slam.pipeline import SlamPipeline
+
+    T = 4
+    ring_images, gts = _make_batch(T, 1)
+    state = batch_pipeline.init_batch_state(CFG, 1, n_rings=16)
+    state, poses = batch_pipeline.run_batch(CFG, state, ring_images)
+    batched_final = np.asarray(poses.t)[-1, 0]
+
+    pipe = SlamPipeline(CFG)
+    for t in range(T):
+        img = RingImage(xyz=ring_images.xyz[t, 0],
+                        rel_time=ring_images.rel_time[t, 0],
+                        mask=ring_images.mask[t, 0])
+        feats = feat_mod.extract_features(img, jnp.float32(0.1 * t), CFG.features)
+        pipe.process_scan(feats)
+    seq_final = np.asarray(pipe.pose_map.t)
+    np.testing.assert_allclose(batched_final, seq_final, atol=0.02)
