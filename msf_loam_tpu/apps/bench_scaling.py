@@ -1,0 +1,103 @@
+"""Multi-device scaling benchmark: sharded mapping + distributed BA.
+
+Reports frames/s scaling efficiency at 1, 2, .., N devices — the
+BASELINE.json config-5 metric (map-block partition + distributed
+Schur-complement BA). On a machine without a pod slice, run with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
+for a simulated-ICI functional measurement; on real hardware the same
+harness exercises ICI collectives.
+
+Usage:
+  python -m msf_loam_tpu.apps.bench_scaling [--devices 1 2 4 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_one(n_devices: int, n_iters: int = 5) -> float:
+    """One distributed 'mapping step': sharded-map insert + query + DP GN +
+    distributed pose-graph solve. Returns steps/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.parallel import (data_parallel, distributed_ba,
+                                       mesh as mesh_mod, sharded_map)
+
+    rng = np.random.default_rng(0)
+    mesh_map = mesh_mod.make_mesh(n_map=n_devices, n_data=1,
+                                  devices=jax.devices()[:n_devices])
+    mesh_data = mesh_mod.make_mesh(n_map=1, n_data=n_devices,
+                                   devices=jax.devices()[:n_devices])
+
+    H = 1 << 13
+    m = sharded_map.create_sharded_map(mesh_map, H, 16, 2.0, 0.4)
+    pts = jnp.asarray(rng.uniform(-20, 20, size=(8192, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-18, 18, size=(2048, 3)).astype(np.float32))
+    qmask = jnp.ones(2048, bool)
+
+    n_corr = 1024 * n_devices
+    normals = rng.normal(size=(n_corr, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    pw = rng.normal(size=(n_corr, 3)).astype(np.float32) * 5
+
+    N_pose = 8 * n_devices
+    D = rng.normal(size=(N_pose, 6, 6)).astype(np.float32)
+    D = np.einsum("nij,nkj->nik", D, D) + 8 * np.eye(6, dtype=np.float32)
+    U = (rng.normal(size=(N_pose - 1, 6, 6)) * 0.2).astype(np.float32)
+    b = rng.normal(size=(N_pose, 6)).astype(np.float32)
+
+    def step(mm):
+        mm = sharded_map.sharded_insert(mesh_map, mm, pts, jnp.ones(8192, bool))
+        d2, xyz, valid = sharded_map.sharded_query_knn(mesh_map, mm, q, qmask)
+        pose = data_parallel.dp_gauss_newton_plane(
+            mesh_data, Pose.identity(), jnp.asarray(pw), jnp.asarray(pw),
+            jnp.asarray(normals), jnp.ones(n_corr, bool), n_iters=3)
+        x = distributed_ba.distributed_tridiag_solve(
+            mesh_data, jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
+        return mm, d2, pose, x
+
+    out = step(m)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    mm = m
+    for _ in range(n_iters):
+        mm, d2, pose, x = step(mm)
+    jax.block_until_ready((d2, pose, x))
+    return n_iters / (time.perf_counter() - t0)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    avail = len(jax.devices())
+    sizes = args.devices or [d for d in (1, 2, 4, 8) if d <= avail]
+    results = {}
+    for n in sizes:
+        sps = bench_one(n)
+        results[n] = sps
+    base = results[sizes[0]] * sizes[0]
+    out = {
+        "platform": jax.devices()[0].platform,
+        "steps_per_sec": {str(n): round(results[n], 2) for n in sizes},
+        # work per step scales with devices (weak scaling):
+        "scaling_efficiency": {
+            str(n): round(results[n] * n / base, 3) for n in sizes},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

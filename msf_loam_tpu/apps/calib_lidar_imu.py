@@ -34,7 +34,11 @@ def main(argv=None) -> int:
     from msf_loam_tpu.imu.extrinsic_calib import (
         calibrate_extrinsic_rotation, integrate_gyro_rotation)
 
-    data = load_trajectory(args.trajectory)
+    if args.trajectory.endswith(".pbstream"):
+        from msf_loam_tpu import proto as pbcodec
+        data = pbcodec.read_pbstream(args.trajectory)
+    else:
+        data = load_trajectory(args.trajectory)
     times = data["times"]
     q = data["rotation_wxyz"]
     if "imu_times" not in data:

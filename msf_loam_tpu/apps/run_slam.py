@@ -33,6 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kitti_root", help="KITTI odometry root (sequences/, poses/)")
     ap.add_argument("--sequence", default="00")
+    ap.add_argument("--bag", help="npz bag file (scan+imu+odom streams)")
     ap.add_argument("--config", help="config JSON (native or reference proto-JSON)")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--n_rings", type=int, default=64)
@@ -46,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--selftest_frames", type=int, default=12)
     ap.add_argument("--eval", action="store_true", help="print ATE vs GT")
     ap.add_argument("--save_map", action="store_true")
+    ap.add_argument("--pbstream", action="store_true",
+                    help="also write reference-format trajectory.pbstream")
+    ap.add_argument("--profile_dir",
+                    help="capture a jax.profiler trace into this directory")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -72,6 +77,14 @@ def main(argv=None) -> int:
     gt_t = []
     gps_times, gps_xyz = [], []
     rng = np.random.default_rng(0)
+
+    profiler_ctx = None
+    if args.profile_dir:
+        # device-level tracing (TicToc/LOG_STEP_TIME analog at kernel depth;
+        # SURVEY.md §5 tracing plank) — view with tensorboard/xprof
+        import jax
+        profiler_ctx = jax.profiler.trace(args.profile_dir)
+        profiler_ctx.__enter__()
 
     if args.selftest:
         from msf_loam_tpu.dataio import synthetic
@@ -100,9 +113,41 @@ def main(argv=None) -> int:
                                                cfg.posegraph.sim_gps_noise, 3))
             logger.info("frame %d: t=%s ok=%s", i,
                         np.round(np.asarray(res.map_pose.t), 3), res.ok)
+    elif args.bag:
+        # bag replay: scans + IMU + gt odometry in timestamp order
+        # (the reference's offline rosbag loop, msf_loam_node.cc:448-459)
+        from msf_loam_tpu.dataio.npz_bag import Bag, ImuMsg, OdomMsg, ScanMsg
+        bag = Bag(args.bag)
+        pipe = SlamPipeline(cfg)
+        counter = 0
+        n_scans = 0
+        for msg in bag.replay():
+            if isinstance(msg, ImuMsg):
+                pipe.add_imu(msg.time, msg.acc, msg.gyr)
+            elif isinstance(msg, OdomMsg):
+                gt_t.append(msg.t)
+                counter += 1
+                if args.sim_gps and counter % cfg.posegraph.sim_gps_period == 0:
+                    gps_times.append(msg.time)
+                    gps_xyz.append(msg.t + rng.uniform(
+                        -cfg.posegraph.sim_gps_noise,
+                        cfg.posegraph.sim_gps_noise, 3))
+            elif isinstance(msg, ScanMsg):
+                if args.max_frames and n_scans >= args.max_frames:
+                    continue
+                img = preprocess.preprocess_scan(
+                    msg.xyz, msg.ring, cfg.features, args.n_rings)
+                feats = feat_mod.extract_features(
+                    img, jnp.float32(msg.time), cfg.features)
+                res = pipe.process_scan(feats)
+                n_scans += 1
+                logger.info("scan @%.2f: t=%s", msg.time,
+                            np.round(np.asarray(res.map_pose.t), 2))
+        gt_t = gt_t[:len(pipe.results)]
     else:
         if not args.kitti_root:
-            print("error: --kitti_root or --selftest required", file=sys.stderr)
+            print("error: --kitti_root, --bag or --selftest required",
+                  file=sys.stderr)
             return 2
         from msf_loam_tpu.dataio.kitti import KittiSequence
         seq = KittiSequence(args.kitti_root, args.sequence,
@@ -129,6 +174,9 @@ def main(argv=None) -> int:
             logger.info("frame %d: t=%s corr=%d", index,
                         np.round(np.asarray(res.map_pose.t), 2),
                         int(res.n_correspondences))
+
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
 
     traj = pipe.trajectory()
     elapsed = time.perf_counter() - t_start
@@ -161,6 +209,21 @@ def main(argv=None) -> int:
     artifacts.save_trajectory(
         os.path.join(args.output_dir, cfg.runtime.trajectory_output),
         traj[:, 0], traj[:, 1:4], traj[:, 4:8])
+    if args.pbstream:
+        # reference-wire-format record (trajectory.pbstream analog)
+        from msf_loam_tpu import proto as pbcodec
+        if pbcodec.available():
+            imu_rec = None
+            if len(pipe.imu_buffer):
+                imu_rec = {
+                    "times": pipe.imu_buffer.times,
+                    "angular_velocity": pipe.imu_buffer._gyr[:len(pipe.imu_buffer)],
+                    "linear_acceleration": pipe.imu_buffer._acc[:len(pipe.imu_buffer)],
+                }
+            pbcodec.write_pbstream(
+                os.path.join(args.output_dir, "trajectory.pbstream"),
+                traj[:, 0], traj[:, 1:4], traj[:, 4:8], imu_rec)
+            summary["pbstream"] = True
 
     if args.save_map:
         stored = np.asarray(pipe.surf_map.points).reshape(-1, 3)

@@ -105,43 +105,74 @@ def _suppression_offsets(picked_w: Array, gap: Array, n_suppress: int,
 
 
 def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
-                 cfg: FeatureConfig, n_rounds: int, maximize: bool,
-                 curv_gate):
-    """Run ``n_rounds`` of parallel per-(ring,sector) picks.
+                 cfg: FeatureConfig, n_total: int, maximize: bool,
+                 curv_gate, picks_per_round: int = 5,
+                 suppressed0: Array = None):
+    """Parallel per-(ring,sector) greedy picks, several per round.
 
-    Each round every sector takes its best remaining candidate; then all
-    picks' ±neighbor suppressions are merged into the shared per-ring mask
-    (the TPU replacement for the serial greedy pick).
+    Each round every sector takes its top ``picks_per_round`` remaining
+    candidates at once (one ``lax.top_k``); picks that a HIGHER-curvature
+    pick of the same round would have suppressed (within ±neighbor_suppress
+    indices with an unbroken gap chain — exactly the reference's
+    suppression rule, msf_loam_node.cc:288-303) are dropped, and all
+    surviving picks' neighbor suppressions merge into the shared per-ring
+    mask before the next round. Collapses the reference's 20-long serial
+    greedy pick into ceil(20/T) sequential steps.
 
     Returns:
-      pick_w:    (n_rounds, R, S) int32 — W-index of each pick (or -1).
+      picks:     (n_rounds*T, R, S) int32 — W-index per pick slot (-1 if
+                 none), ordered by descending score (round-major).
       suppressed:(R, W) bool — final suppression mask (includes the picks).
     """
     R, W = curv.shape
     S = cfg.num_sectors
+    T = picks_per_round
+    n_rounds = -(-n_total // T)
     sec_onehot = sector[:, :, None] == jnp.arange(S)[None, None, :]  # (R, W, S)
 
     score = curv if maximize else -curv
     score = jnp.where(base_mask & curv_gate(curv), score, -_BIG)
 
+    # exclusive prefix count of broken gaps: chain a..b unbroken iff
+    # cb0[b] - cb0[a] == 0
+    bad = (gap > cfg.neighbor_gap_sq).astype(jnp.int32)
+    cb0 = jnp.cumsum(bad, axis=1) - bad  # (R, W)
+
     def round_fn(suppressed, _):
         avail = jnp.where(suppressed, -_BIG, score)  # (R, W)
         per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)  # (R, W, S)
-        best_w = jnp.argmax(per_sec, axis=1)  # (R, S)
-        best_v = jnp.take_along_axis(per_sec, best_w[:, None, :], axis=1)[:, 0, :]
-        valid = best_v > -_BIG * 0.5  # (R, S)
-        pick = jnp.where(valid, best_w, -1).astype(jnp.int32)
-        picked_w = jnp.zeros((R, W), bool)
-        # scatter the (<= S) picks of each ring into a one-hot row mask
-        picked_w = picked_w.at[
-            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
-        ].max(valid.reshape(-1), mode="drop")
+        vals, idxs = jax.lax.top_k(per_sec.transpose(0, 2, 1), T)  # (R, S, T)
+        ok = vals > -_BIG * 0.5
+
+        # within-round pairwise suppression across the whole ring
+        fi = idxs.reshape(R, S * T)          # (R, ST) W-indices
+        fv = vals.reshape(R, S * T)
+        fok = ok.reshape(R, S * T)
+        fcb = jnp.take_along_axis(cb0, jnp.maximum(fi, 0), axis=1)
+        di = jnp.abs(fi[:, :, None] - fi[:, None, :])         # (R, ST, ST)
+        near = (di > 0) & (di <= cfg.neighbor_suppress)
+        unbroken = fcb[:, :, None] == fcb[:, None, :]
+        # q dominates p if strictly better score, or equal score + lower idx
+        better = (fv[:, None, :] > fv[:, :, None]) | (
+            (fv[:, None, :] == fv[:, :, None]) & (fi[:, None, :] < fi[:, :, None]))
+        dominated = jnp.any(near & unbroken & better & fok[:, None, :], axis=2)
+        keep = fok & ~dominated
+
+        pick = jnp.where(keep, fi, -1).astype(jnp.int32)      # (R, ST)
+        picked_w = jnp.zeros((R, W), bool).at[
+            jnp.repeat(jnp.arange(R), S * T), pick.reshape(-1)
+        ].max(keep.reshape(-1), mode="drop")
         new_sup = _suppression_offsets(picked_w, gap, cfg.neighbor_suppress,
                                        cfg.neighbor_gap_sq)
-        return suppressed | picked_w | new_sup, pick
+        # emit in (T, R, S) order so round-major slots sort by score
+        pick_trs = jnp.where(keep, fi, -1).reshape(R, S, T).transpose(2, 0, 1)
+        return suppressed | picked_w | new_sup, pick_trs.astype(jnp.int32)
 
-    suppressed0 = jnp.zeros((R, W), bool)
-    suppressed, picks = jax.lax.scan(round_fn, suppressed0, None, length=n_rounds)
+    if suppressed0 is None:
+        suppressed0 = jnp.zeros((R, W), bool)
+    suppressed, picks = jax.lax.scan(round_fn, suppressed0, None,
+                                     length=n_rounds)
+    picks = picks.reshape(n_rounds * T, R, S)
     return picks, suppressed
 
 
@@ -203,33 +234,30 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     sector = assign_sectors(eligible, n_valid, cfg)
     gap = _gap_sq(ring_image.xyz)
 
-    # corner picks (max curvature, > threshold)
-    corner_picks, suppressed = _pick_rounds(
+    # corner picks (max curvature, > threshold): the sharp picks stay
+    # exact single-pick rounds (they anchor the edge factors); the bulk
+    # less-sharp picks batch up in top-6 rounds
+    corner_gate = lambda c: c > cfg.curvature_threshold
+    sharp_picks, suppressed = _pick_rounds(
         curv, eligible, sector, gap, cfg,
-        n_rounds=cfg.less_sharp_per_sector, maximize=True,
-        curv_gate=lambda c: c > cfg.curvature_threshold,
+        n_total=cfg.sharp_per_sector, maximize=True,
+        curv_gate=corner_gate, picks_per_round=1,
     )
-    # flat picks (min curvature, < threshold), respecting corner suppression
-    flat_score = jnp.where(eligible & (curv < cfg.curvature_threshold) & ~suppressed,
-                           -curv, -_BIG)
-    sec_onehot = sector[:, :, None] == jnp.arange(S)[None, None, :]
-
-    def flat_round(sup, _):
-        avail = jnp.where(sup, -_BIG, flat_score)
-        per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)
-        best_w = jnp.argmax(per_sec, axis=1)
-        best_v = jnp.take_along_axis(per_sec, best_w[:, None, :], axis=1)[:, 0, :]
-        valid = best_v > -_BIG * 0.5
-        pick = jnp.where(valid, best_w, -1).astype(jnp.int32)
-        picked_w = jnp.zeros((R, W), bool).at[
-            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
-        ].max(valid.reshape(-1), mode="drop")
-        new_sup = _suppression_offsets(picked_w, gap, cfg.neighbor_suppress,
-                                       cfg.neighbor_gap_sq)
-        return sup | picked_w | new_sup, pick
-
-    flat_sup, flat_picks = jax.lax.scan(
-        flat_round, suppressed, None, length=cfg.flat_per_sector)
+    n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
+    rest_picks, suppressed = _pick_rounds(
+        curv, eligible, sector, gap, cfg,
+        n_total=n_rest, maximize=True, curv_gate=corner_gate,
+        picks_per_round=6, suppressed0=suppressed,
+    )
+    corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
+    # flat picks (min curvature, < threshold): exact single-pick rounds,
+    # respecting corner suppression
+    flat_picks, flat_sup = _pick_rounds(
+        curv, eligible, sector, gap, cfg,
+        n_total=cfg.flat_per_sector, maximize=False,
+        curv_gate=lambda c: c < cfg.curvature_threshold,
+        picks_per_round=1, suppressed0=suppressed,
+    )
 
     sharp = _gather_picks(ring_image, corner_picks, cfg.sharp_per_sector,
                           R * S * cfg.sharp_per_sector)

@@ -36,6 +36,15 @@ Array = jax.Array
 _K = 8  # kNN candidates fetched per query (selection happens among these)
 
 
+def _knn(q_world, q_mask, ref_xyz, ref_mask):
+    """kNN backend: fused Pallas kernel on TPU, XLA blockwise elsewhere
+    (scan-vs-scan scale, where fused brute force wins — see ops/pallas_knn)."""
+    if jax.devices()[0].platform == "tpu":
+        from msf_loam_tpu.ops.pallas_knn import knn_pallas
+        return knn_pallas(q_world, ref_xyz, ref_mask, k=_K, bq=256, bm=2048)
+    return knn_ops.knn(q_world, q_mask, ref_xyz, ref_mask, k=_K)
+
+
 class EdgeCorrespondences(NamedTuple):
     points: Array   # (N, 3) sensor-frame query points
     line_c: Array   # (N, 3)
@@ -53,7 +62,7 @@ class PlaneCorrespondences(NamedTuple):
 def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
                               cfg: OdometryConfig) -> EdgeCorrespondences:
     q_world = pose.apply(query.xyz)
-    d2, idx = knn_ops.knn(q_world, query.mask, ref.masked_xyz(), ref.mask, k=_K)
+    d2, idx = _knn(q_world, query.mask, ref.masked_xyz(), ref.mask)
     cand_xyz = knn_ops.gather_neighbors(ref.xyz, idx)            # (N, K, 3)
     cand_ring = jnp.where(idx >= 0, ref.ring[jnp.maximum(idx, 0)], -1)
 
@@ -80,7 +89,7 @@ def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
 def find_plane_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
                                cfg: OdometryConfig) -> PlaneCorrespondences:
     q_world = pose.apply(query.xyz)
-    d2, idx = knn_ops.knn(q_world, query.mask, ref.masked_xyz(), ref.mask, k=_K)
+    d2, idx = _knn(q_world, query.mask, ref.masked_xyz(), ref.mask)
     cand_xyz = knn_ops.gather_neighbors(ref.xyz, idx)
     cand_ring = jnp.where(idx >= 0, ref.ring[jnp.maximum(idx, 0)], -1)
 
