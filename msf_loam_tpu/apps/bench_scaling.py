@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def bench_one(n_devices: int, n_iters: int = 5) -> float:
+def bench_one(n_devices: int, n_iters: int = 3) -> float:
     """One distributed 'mapping step': sharded-map insert + query + DP GN +
     distributed pose-graph solve. Returns steps/s."""
     import jax
@@ -36,13 +36,13 @@ def bench_one(n_devices: int, n_iters: int = 5) -> float:
     mesh_data = mesh_mod.make_mesh(n_map=1, n_data=n_devices,
                                    devices=jax.devices()[:n_devices])
 
-    H = 1 << 13
+    H = 1 << 11
     m = sharded_map.create_sharded_map(mesh_map, H, 16, 2.0, 0.4)
-    pts = jnp.asarray(rng.uniform(-20, 20, size=(8192, 3)).astype(np.float32))
-    q = jnp.asarray(rng.uniform(-18, 18, size=(2048, 3)).astype(np.float32))
-    qmask = jnp.ones(2048, bool)
+    pts = jnp.asarray(rng.uniform(-20, 20, size=(2048, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-18, 18, size=(512, 3)).astype(np.float32))
+    qmask = jnp.ones(512, bool)
 
-    n_corr = 1024 * n_devices
+    n_corr = 256 * n_devices
     normals = rng.normal(size=(n_corr, 3)).astype(np.float32)
     normals /= np.linalg.norm(normals, axis=1, keepdims=True)
     pw = rng.normal(size=(n_corr, 3)).astype(np.float32) * 5
@@ -54,7 +54,7 @@ def bench_one(n_devices: int, n_iters: int = 5) -> float:
     b = rng.normal(size=(N_pose, 6)).astype(np.float32)
 
     def step(mm):
-        mm = sharded_map.sharded_insert(mesh_map, mm, pts, jnp.ones(8192, bool))
+        mm = sharded_map.sharded_insert(mesh_map, mm, pts, jnp.ones(2048, bool))
         d2, xyz, valid = sharded_map.sharded_query_knn(mesh_map, mm, q, qmask)
         pose = data_parallel.dp_gauss_newton_plane(
             mesh_data, Pose.identity(), jnp.asarray(pw), jnp.asarray(pw),
@@ -78,10 +78,21 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", type=int, nargs="+", default=None)
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     avail = len(jax.devices())
-    sizes = args.devices or [d for d in (1, 2, 4, 8) if d <= avail]
+    # default to the scaling endpoints; each mesh size compiles ~8 programs
+    sizes = args.devices or [d for d in (1, avail) if d <= avail]
     results = {}
     for n in sizes:
         sps = bench_one(n)

@@ -24,16 +24,11 @@ from msf_loam_tpu.ops import icp_residuals as icp
 Array = jax.Array
 
 
-def dp_gauss_newton_plane(mesh: Mesh, pose0: Pose, points: Array, plane_c: Array,
-                          plane_n: Array, valid: Array, n_iters: int,
-                          huber_delta: float = 0.1) -> Pose:
-    """Distributed point-to-plane GN: correspondences sharded over 'data'.
+@functools.lru_cache(maxsize=64)
+def _dp_gn_program(mesh: Mesh, n_iters: int, huber_delta: float):
+    """Jitted DP-GN program, cached per (mesh, schedule)."""
 
-    Every device evaluates residuals/Jacobians for its shard; H and g are
-    psum'd; the 6x6 solve and retraction run replicated on all devices
-    (identical results, zero extra comm).
-    """
-
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P("data", None), P("data", None),
@@ -58,5 +53,18 @@ def dp_gauss_newton_plane(mesh: Mesh, pose0: Pose, points: Array, plane_c: Array
         pose, _ = jax.lax.scan(step, pose, None, length=n_iters)
         return pose.t, pose.q
 
-    t, q = _run(pose0.t, pose0.q, points, plane_c, plane_n, valid)
+    return _run
+
+
+def dp_gauss_newton_plane(mesh: Mesh, pose0: Pose, points: Array, plane_c: Array,
+                          plane_n: Array, valid: Array, n_iters: int,
+                          huber_delta: float = 0.1) -> Pose:
+    """Distributed point-to-plane GN: correspondences sharded over 'data'.
+
+    Every device evaluates residuals/Jacobians for its shard; H and g are
+    psum'd; the 6x6 solve and retraction run replicated on all devices
+    (identical results, zero extra comm).
+    """
+    fn = _dp_gn_program(mesh, n_iters, huber_delta)
+    t, q = fn(pose0.t, pose0.q, points, plane_c, plane_n, valid)
     return Pose(t, q)

@@ -88,22 +88,12 @@ def _backsub_chain(S0k_seq: Array, Skk_seq: Array, bk_seq: Array,
     return jnp.concatenate([x0[None], xs, xe[None]], axis=0)
 
 
-def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array:
-    """Exact block-tridiagonal solve with segments sharded over 'data'.
+@functools.lru_cache(maxsize=64)
+def _solve_program(mesh: Mesh):
+    """Jitted distributed solve, cached per mesh (stable identity ->
+    jax compile-cache hits instead of a recompile per call)."""
 
-    Args:
-      D: (N, 6, 6), U: (N-1, 6, 6), b: (N, 6); N divisible by n_devices,
-      segment length >= 2.
-    """
-    N = D.shape[0]
-    n_dev = mesh.shape["data"]
-    L = N // n_dev
-    assert L >= 2, "segments must hold at least 2 poses"
-    # pad U to length N so it shards evenly; U_pad[i] couples i and i+1,
-    # the segment-local slice U_pad[sL : sL+L-1] is intra-segment, and
-    # U_pad[sL+L-1] is the boundary coupling to the next segment.
-    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
-
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None, None), P("data", None)),
@@ -145,4 +135,22 @@ def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array
         x_seg = _backsub_chain(S0k_seq, Skk_seq, bk_seq, Ul, x0, xe, Dl.shape[0])
         return x_seg
 
-    return _solve(D, U_pad, b)
+    return _solve
+
+
+def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array:
+    """Exact block-tridiagonal solve with segments sharded over 'data'.
+
+    Args:
+      D: (N, 6, 6), U: (N-1, 6, 6), b: (N, 6); N divisible by n_devices,
+      segment length >= 2.
+    """
+    N = D.shape[0]
+    n_dev = mesh.shape["data"]
+    L = N // n_dev
+    assert L >= 2, "segments must hold at least 2 poses"
+    # pad U to length N so it shards evenly; U_pad[i] couples i and i+1,
+    # the segment-local slice U_pad[sL : sL+L-1] is intra-segment, and
+    # U_pad[sL+L-1] is the boundary coupling to the next segment.
+    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
+    return _solve_program(mesh)(D, U_pad, b)

@@ -52,13 +52,13 @@ def create_sharded_map(mesh: Mesh, table_size: int, slab_capacity: int,
     )
 
 
-def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
-                   mask: Array) -> VoxelHashMap:
-    """Insert world points into the sharded map (owner-routes scatter)."""
-    H = vmap_state.table_size
-    n_shards = mesh.shape["map"]
-    h_local = H // n_shards
+@functools.lru_cache(maxsize=64)
+def _insert_program(mesh: Mesh, H: int, h_local: int):
+    """Build (once per mesh/table-shape) the jitted sharded-insert program.
+    Caching keeps a stable function identity so jax's compile cache hits —
+    rebuilding the shard_map per call recompiles every time."""
 
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("map", None, None), P("map", None), P("map"),
@@ -75,7 +75,16 @@ def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
         out = _insert_local(local, pts, pmask & own, slot - shard_id * h_local)
         return out.points, out.leaf_key, out.count
 
-    points, leaf_key, count = _insert(
+    return _insert
+
+
+def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
+                   mask: Array) -> VoxelHashMap:
+    """Insert world points into the sharded map (owner-routes scatter)."""
+    H = vmap_state.table_size
+    h_local = H // mesh.shape["map"]
+    fn = _insert_program(mesh, H, h_local)
+    points, leaf_key, count = fn(
         vmap_state.points, vmap_state.leaf_key, vmap_state.count,
         vmap_state.cell_size, vmap_state.leaf, xyz, mask)
     return vmap_state._replace(points=points, leaf_key=leaf_key, count=count)
@@ -117,15 +126,11 @@ def _insert_local(local: VoxelHashMap, xyz: Array, keep_mask: Array,
     return local._replace(points=new_points, leaf_key=new_keys, count=new_count)
 
 
-def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
-                      query_mask: Array, k: int = 5
-                      ) -> Tuple[Array, Array, Array]:
-    """k-NN against the sharded map; exact via per-shard top-k + all_gather
-    merge over the ICI."""
-    H = vmap_state.table_size
-    n_shards = mesh.shape["map"]
-    h_local = H // n_shards
+@functools.lru_cache(maxsize=64)
+def _query_program(mesh: Mesh, H: int, h_local: int, k: int):
+    """Jitted sharded-query program, cached per (mesh, shape, k)."""
 
+    @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("map", None, None), P("map", None), P("map"),
@@ -168,5 +173,16 @@ def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
         valid = (top_d2 < 1e37) & qmask[:, None]
         return top_d2, top_xyz, valid
 
-    return _query(vmap_state.points, vmap_state.leaf_key, vmap_state.count,
-                  vmap_state.cell_size, vmap_state.leaf, query, query_mask)
+    return _query
+
+
+def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
+                      query_mask: Array, k: int = 5
+                      ) -> Tuple[Array, Array, Array]:
+    """k-NN against the sharded map; exact via per-shard top-k + all_gather
+    merge over the ICI."""
+    H = vmap_state.table_size
+    h_local = H // mesh.shape["map"]
+    fn = _query_program(mesh, H, h_local, k)
+    return fn(vmap_state.points, vmap_state.leaf_key, vmap_state.count,
+              vmap_state.cell_size, vmap_state.leaf, query, query_mask)

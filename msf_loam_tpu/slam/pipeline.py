@@ -59,6 +59,49 @@ class FrameResult:
     ok: bool
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("corner_map", "surf_map"))
+def fused_frame_step(cfg: MsfLoamConfig, corner_map, surf_map,
+                     prev_scan: ScanFeatures, scan: ScanFeatures,
+                     pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose,
+                     is_first):
+    """The whole lidar-only frame as ONE device program (odometry GN +
+    downsample + scan-to-map GN + map insert). The host pipeline issues a
+    single dispatch per frame — on a remote-TPU link this is the difference
+    between wire-latency-bound and compute-bound operation."""
+    from msf_loam_tpu.slam import mapping as mapping_mod
+    from msf_loam_tpu.slam import odometry as odometry_mod
+    from msf_loam_tpu.slam import voxel_map as vm
+
+    oc, mc = cfg.odometry, cfg.mapping
+    odo = odometry_mod.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    use = odo.ok & ~is_first
+    pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
+                            odo.pose_curr2last, pose_c2l)
+    step_pose = jax.tree.map(lambda i, p: jnp.where(is_first, i, p),
+                             Pose.identity(), pose_c2l)
+    pose_odom = pose_odom.compose(step_pose)
+
+    corner_ds = downsample_features(scan.corner_less_sharp,
+                                    mc.line_resolution, mc.max_query_points)
+    surf_ds = downsample_features(scan.surf_less_flat,
+                                  mc.plane_resolution, mc.max_query_points)
+
+    guess = pose_o2m.compose(pose_odom)
+    mres = mapping_mod.match_scan2map(corner_map, surf_map, corner_ds,
+                                      surf_ds, guess, mc)
+    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
+                            mres.pose, guess)
+    pose_o2m = pose_map.compose(pose_odom.inverse())
+
+    cw = corner_ds.transform(pose_map)
+    sw = surf_ds.transform(pose_map)
+    corner_map = vm.insert(corner_map, cw.xyz, cw.mask)
+    surf_map = vm.insert(surf_map, sw.xyz, sw.mask)
+    return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
+            odo.n_correspondences, odo.ok | is_first)
+
+
 class SlamPipeline:
     """Stateful frame-by-frame SLAM driver (single trajectory)."""
 
@@ -148,6 +191,10 @@ class SlamPipeline:
         scan_time = float(scan.time)
         use_imu = self.has_imu
 
+        if not use_imu:
+            # pure-lidar frames run as one fused device program
+            return self._process_scan_fused(scan)
+
         # pre-init rotation-only deskew (laser_mapping.cc:171-177)
         if use_imu and not self.is_initialized:
             pre_scan = self._preintegrate_window(
@@ -236,6 +283,28 @@ class SlamPipeline:
         res = FrameResult(
             time=float(scan.time), odom_pose=self.pose_odom,
             map_pose=self.pose_map, n_correspondences=n_corr, ok=odom_ok)
+        self.results.append(res)
+        return res
+
+    # ------------------------------------------------------------------
+    def _process_scan_fused(self, scan: ScanFeatures) -> FrameResult:
+        import jax.numpy as jnp
+
+        is_first = self.prev_scan is None
+        prev = scan if is_first else self.prev_scan
+        with self.timers.stage("SLAM", "fused-frame"):
+            (self.corner_map, self.surf_map, self.pose_curr2last,
+             self.pose_odom, self.pose_odom2map, self.pose_map,
+             n_corr, ok) = fused_frame_step(
+                self.cfg, self.corner_map, self.surf_map, prev, scan,
+                self.pose_curr2last, self.pose_odom, self.pose_odom2map,
+                jnp.bool_(is_first))
+        self.prev_scan = scan
+        self.frame_idx += 1
+        res = FrameResult(
+            time=float(scan.time), odom_pose=self.pose_odom,
+            map_pose=self.pose_map,
+            n_correspondences=float(n_corr), ok=bool(ok))
         self.results.append(res)
         return res
 
