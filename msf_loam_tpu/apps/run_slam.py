@@ -103,9 +103,7 @@ def main(argv=None) -> int:
                                                 pts_per_ring=1800,
                                                 noise=0.004, seed=i)
             img = preprocess.preprocess_scan(xyz, ring, cfg.features, n_rings)
-            feats = feat_mod.extract_features(img, jnp.float32(0.1 * i),
-                                              cfg.features)
-            res = pipe.process_scan(feats)
+            res = pipe.process_ring_image(img, 0.1 * i)
             gt_t.append(t)
             if args.sim_gps and i % cfg.posegraph.sim_gps_period == 0:
                 gps_times.append(0.1 * i)
@@ -137,9 +135,7 @@ def main(argv=None) -> int:
                     continue
                 img = preprocess.preprocess_scan(
                     msg.xyz, msg.ring, cfg.features, args.n_rings)
-                feats = feat_mod.extract_features(
-                    img, jnp.float32(msg.time), cfg.features)
-                res = pipe.process_scan(feats)
+                res = pipe.process_ring_image(img, msg.time)
                 n_scans += 1
                 logger.info("scan @%.2f: t=%s", msg.time,
                             np.round(np.asarray(res.map_pose.t), 2))
@@ -159,9 +155,7 @@ def main(argv=None) -> int:
         for index, t_scan, img in seq.ring_images(
                 cfg.features.max_points_per_ring, cfg.features.min_range,
                 cfg.features.scan_period, end=end):
-            feats = feat_mod.extract_features(
-                img, jnp.float32(t_scan), cfg.features)
-            res = pipe.process_scan(feats)
+            res = pipe.process_ring_image(img, t_scan)
             if seq.gt_poses is not None:
                 gt_pose = seq.gt_poses[index]
                 gt_t.append(gt_pose[:3, 3])

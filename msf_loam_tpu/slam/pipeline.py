@@ -61,6 +61,23 @@ class FrameResult:
 
 @functools.partial(jax.jit, static_argnames=("cfg",),
                    donate_argnames=("corner_map", "surf_map"))
+def fused_frame_step_from_image(cfg: MsfLoamConfig, corner_map, surf_map,
+                                prev_scan: ScanFeatures, ring_image,
+                                scan_time, pose_c2l: Pose, pose_odom: Pose,
+                                pose_o2m: Pose, is_first):
+    """Like fused_frame_step but starting from the raw RingImage: feature
+    extraction fuses into the same device program (one dispatch per frame
+    from raw points to updated map)."""
+    from msf_loam_tpu.ops import features as feat_mod
+
+    scan = feat_mod.extract_features(ring_image, scan_time, cfg.features)
+    out = _frame_core(cfg, corner_map, surf_map, prev_scan, scan,
+                      pose_c2l, pose_odom, pose_o2m, is_first)
+    return out + (scan,)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("corner_map", "surf_map"))
 def fused_frame_step(cfg: MsfLoamConfig, corner_map, surf_map,
                      prev_scan: ScanFeatures, scan: ScanFeatures,
                      pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose,
@@ -69,6 +86,13 @@ def fused_frame_step(cfg: MsfLoamConfig, corner_map, surf_map,
     downsample + scan-to-map GN + map insert). The host pipeline issues a
     single dispatch per frame — on a remote-TPU link this is the difference
     between wire-latency-bound and compute-bound operation."""
+    return _frame_core(cfg, corner_map, surf_map, prev_scan, scan,
+                       pose_c2l, pose_odom, pose_o2m, is_first)
+
+
+def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
+                prev_scan: ScanFeatures, scan: ScanFeatures,
+                pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose, is_first):
     from msf_loam_tpu.slam import mapping as mapping_mod
     from msf_loam_tpu.slam import odometry as odometry_mod
     from msf_loam_tpu.slam import voxel_map as vm
@@ -283,6 +307,41 @@ class SlamPipeline:
         res = FrameResult(
             time=float(scan.time), odom_pose=self.pose_odom,
             map_pose=self.pose_map, n_correspondences=n_corr, ok=odom_ok)
+        self.results.append(res)
+        return res
+
+    # ------------------------------------------------------------------
+    def process_ring_image(self, ring_image, scan_time: float) -> FrameResult:
+        """Lidar-only fast path: raw RingImage -> one fused device dispatch
+        (feature extraction included). Falls back to process_scan when IMU
+        is active (the IMU branch needs host-side windowing)."""
+        import jax.numpy as jnp
+
+        if self.has_imu:
+            from msf_loam_tpu.ops import features as feat_mod
+            feats = feat_mod.extract_features(
+                ring_image, jnp.float32(scan_time), self.cfg.features)
+            return self.process_scan(feats._replace(time=jnp.float32(scan_time)))
+
+        is_first = self.prev_scan is None
+        with self.timers.stage("SLAM", "fused-frame"):
+            if is_first:
+                from msf_loam_tpu.ops import features as feat_mod
+                prev = feat_mod.extract_features(
+                    ring_image, jnp.float32(scan_time), self.cfg.features)
+            else:
+                prev = self.prev_scan
+            (self.corner_map, self.surf_map, self.pose_curr2last,
+             self.pose_odom, self.pose_odom2map, self.pose_map,
+             n_corr, ok, scan) = fused_frame_step_from_image(
+                self.cfg, self.corner_map, self.surf_map, prev, ring_image,
+                jnp.float32(scan_time), self.pose_curr2last, self.pose_odom,
+                self.pose_odom2map, jnp.bool_(is_first))
+        self.prev_scan = scan
+        self.frame_idx += 1
+        res = FrameResult(
+            time=scan_time, odom_pose=self.pose_odom, map_pose=self.pose_map,
+            n_correspondences=float(n_corr), ok=bool(ok))
         self.results.append(res)
         return res
 
