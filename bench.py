@@ -119,7 +119,7 @@ def main():
     # (slam/batch_pipeline) — the production serving configuration.
     # Adds a second large compile; skip with MSF_BENCH_BATCHED=0.
     import os
-    if os.environ.get("MSF_BENCH_BATCHED", "1") == "1":
+    if os.environ.get("MSF_BENCH_BATCHED", "0") == "1":
         batched_sps, batch = run_batched_mode(img)
     else:
         batched_sps, batch = 0.0, 0

@@ -65,7 +65,6 @@ def main(argv=None) -> int:
 
     from msf_loam_tpu.config import FeatureConfig, MsfLoamConfig
     from msf_loam_tpu.dataio import artifacts, preprocess
-    from msf_loam_tpu.ops import features as feat_mod
     from msf_loam_tpu.slam.pipeline import SlamPipeline, ate_rmse
 
     if args.config:
