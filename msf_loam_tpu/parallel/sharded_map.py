@@ -47,6 +47,7 @@ def create_sharded_map(mesh: Mesh, table_size: int, slab_capacity: int,
         points=jax.device_put(m.points, shard),
         leaf_key=jax.device_put(m.leaf_key, shard),
         count=jax.device_put(m.count, shard),
+        n_obs=jax.device_put(m.n_obs, shard),
         cell_size=jax.device_put(m.cell_size, rep),
         leaf=jax.device_put(m.leaf, rep),
     )
@@ -62,18 +63,20 @@ def _insert_program(mesh: Mesh, H: int, h_local: int):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("map", None, None), P("map", None), P("map"),
-                  P(), P(), P(), P()),
-        out_specs=(P("map", None, None), P("map", None), P("map")),
+                  P("map", None), P(), P(), P(), P()),
+        out_specs=(P("map", None, None), P("map", None), P("map"),
+                   P("map", None)),
     )
-    def _insert(points, leaf_key, count, cell_size, leaf, pts, pmask):
+    def _insert(points, leaf_key, count, n_obs, cell_size, leaf, pts, pmask):
         shard_id = jax.lax.axis_index("map")
-        local = VoxelHashMap(points, leaf_key, count, cell_size, leaf)
+        local = VoxelHashMap(points, leaf_key, count, n_obs, cell_size, leaf)
         cells = jnp.floor(pts / cell_size).astype(jnp.int32)
         slot = _hash_cells(cells, H)
         own = (slot >= shard_id * h_local) & (slot < (shard_id + 1) * h_local)
         # insert with LOCAL slot ids: shift the hash into shard-local space
-        out = _insert_local(local, pts, pmask & own, slot - shard_id * h_local)
-        return out.points, out.leaf_key, out.count
+        out = vm.insert_at_slots(local, pts, pmask & own,
+                                 slot - shard_id * h_local)
+        return out.points, out.leaf_key, out.count, out.n_obs
 
     return _insert
 
@@ -84,46 +87,11 @@ def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
     H = vmap_state.table_size
     h_local = H // mesh.shape["map"]
     fn = _insert_program(mesh, H, h_local)
-    points, leaf_key, count = fn(
+    points, leaf_key, count, n_obs = fn(
         vmap_state.points, vmap_state.leaf_key, vmap_state.count,
-        vmap_state.cell_size, vmap_state.leaf, xyz, mask)
-    return vmap_state._replace(points=points, leaf_key=leaf_key, count=count)
-
-
-def _insert_local(local: VoxelHashMap, xyz: Array, keep_mask: Array,
-                  slot: Array) -> VoxelHashMap:
-    """Slot-explicit variant of voxel_map.insert (same dedup semantics)."""
-    P_ = local.slab_capacity
-    Hl = local.points.shape[0]
-    n = xyz.shape[0]
-    keep = vm._dedup_batch(xyz, keep_mask, local.leaf)
-    lkey = vm._leaf_key_dyn(xyz, local.leaf)
-
-    safe_slot = jnp.clip(slot, 0, Hl - 1)
-    slab_keys = local.leaf_key[safe_slot]
-    occup = jnp.arange(P_)[None, :] < local.count[safe_slot][:, None]
-    dup = jnp.any((slab_keys == lkey[:, None]) & occup, axis=1)
-    keep = keep & ~dup
-
-    sent = jnp.int32(Hl)
-    key = jnp.where(keep, safe_slot, sent)
-    order = jnp.argsort(key, stable=True)
-    ks = key[order]
-    pos = jnp.arange(n)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        (pos - seg_start).astype(jnp.int32))
-
-    dest = local.count[safe_slot] + rank
-    ok = keep & (dest < P_)
-    w_slot = jnp.where(ok, safe_slot, Hl)
-    w_dest = jnp.where(ok, dest, 0)
-    new_points = local.points.at[w_slot, w_dest].set(xyz, mode="drop")
-    new_keys = local.leaf_key.at[w_slot, w_dest].set(lkey, mode="drop")
-    new_count = jnp.minimum(
-        local.count.at[w_slot].add(ok.astype(jnp.int32), mode="drop"), P_)
-    return local._replace(points=new_points, leaf_key=new_keys, count=new_count)
+        vmap_state.n_obs, vmap_state.cell_size, vmap_state.leaf, xyz, mask)
+    return vmap_state._replace(points=points, leaf_key=leaf_key, count=count,
+                               n_obs=n_obs)
 
 
 @functools.lru_cache(maxsize=64)

@@ -43,9 +43,11 @@ def save_checkpoint(pipe: "SlamPipeline", path: str) -> None:
         "cmap_points": np.asarray(pipe.corner_map.points),
         "cmap_keys": np.asarray(pipe.corner_map.leaf_key),
         "cmap_count": np.asarray(pipe.corner_map.count),
+        "cmap_nobs": np.asarray(pipe.corner_map.n_obs),
         "smap_points": np.asarray(pipe.surf_map.points),
         "smap_keys": np.asarray(pipe.surf_map.leaf_key),
         "smap_count": np.asarray(pipe.surf_map.count),
+        "smap_nobs": np.asarray(pipe.surf_map.n_obs),
         # trajectory so far
         "traj": pipe.trajectory() if pipe.results else np.zeros((0, 8)),
         # estimator window (JSON-encoded; small)
@@ -85,11 +87,13 @@ def load_checkpoint(pipe: "SlamPipeline", path: str) -> None:
         pipe.corner_map = pipe.corner_map._replace(
             points=jnp.asarray(z["cmap_points"]),
             leaf_key=jnp.asarray(z["cmap_keys"]),
-            count=jnp.asarray(z["cmap_count"]))
+            count=jnp.asarray(z["cmap_count"]),
+            n_obs=jnp.asarray(z["cmap_nobs"]))
         pipe.surf_map = pipe.surf_map._replace(
             points=jnp.asarray(z["smap_points"]),
             leaf_key=jnp.asarray(z["smap_keys"]),
-            count=jnp.asarray(z["smap_count"]))
+            count=jnp.asarray(z["smap_count"]),
+            n_obs=jnp.asarray(z["smap_nobs"]))
         states = json.loads(bytes(z["states_json"]).decode() or "[]")
         pipe._states = [
             {k: (np.asarray(v, np.float32) if isinstance(v, list) else v)

@@ -50,9 +50,10 @@ def _hash_cells(cells: Array, table_size: int) -> Array:
 
 
 class VoxelHashMap(NamedTuple):
-    points: Array     # (H, P, 3) float32
+    points: Array     # (H, P, 3) float32 — running per-leaf-voxel centroids
     leaf_key: Array   # (H, P) int32
     count: Array      # (H,) int32
+    n_obs: Array      # (H, P) float32 — observations per stored point
     cell_size: Array  # () float32
     leaf: Array       # () float32
 
@@ -74,34 +75,64 @@ def create_map(table_size: int, slab_capacity: int, cell_size: float,
         points=jnp.zeros((table_size, slab_capacity, 3), jnp.float32),
         leaf_key=jnp.full((table_size, slab_capacity), -1, jnp.int32),
         count=jnp.zeros((table_size,), jnp.int32),
+        n_obs=jnp.zeros((table_size, slab_capacity), jnp.float32),
         cell_size=jnp.float32(cell_size),
         leaf=jnp.float32(leaf),
     )
 
 
-@jax.jit
-def insert(vmap: VoxelHashMap, xyz: Array, mask: Array) -> VoxelHashMap:
+@functools.partial(jax.jit, static_argnames=("centroid_updates",))
+def insert(vmap: VoxelHashMap, xyz: Array, mask: Array,
+           centroid_updates: bool = False) -> VoxelHashMap:
     """Insert world-frame points, one representative per leaf voxel.
 
     Semantics follow HybridGridImpl::InsertScan (hybrid_grid.cc:503-521):
-    bin by cell, then keep per-cell clouds thinned at leaf resolution. New
-    points whose leaf voxel is already occupied are dropped; full slabs
+    bin by cell, then keep per-cell clouds thinned at leaf resolution.
+    The first observation of a leaf voxel is kept; with
+    ``centroid_updates=True`` later observations fold into a running
+    centroid instead (pcl::VoxelGrid-like — measured to SMEAR the map with
+    misregistered points and worsen ATE, hence off by default). Full slabs
     drop overflow (the reference's grid is unbounded; our slabs bound it —
     size them for the leaf/cell ratio).
     """
+    H = vmap.table_size
+    cells = jnp.floor(xyz / vmap.cell_size).astype(jnp.int32)
+    slot = _hash_cells(cells, H)
+    return insert_at_slots(vmap, xyz, mask, slot, centroid_updates)
+
+
+def insert_at_slots(vmap: VoxelHashMap, xyz: Array, mask: Array,
+                    slot: Array, centroid_updates: bool = False) -> VoxelHashMap:
+    """Insert with caller-provided slot ids (the sharded map passes
+    shard-local slots; `insert` passes the global hash)."""
     H, P = vmap.table_size, vmap.slab_capacity
     n = xyz.shape[0]
 
-    keep = _dedup_batch(xyz, mask, vmap.leaf)
-    cells = jnp.floor(xyz / vmap.cell_size).astype(jnp.int32)
-    slot = _hash_cells(cells, H)
+    rep = _dedup_batch(xyz, mask, vmap.leaf)  # one representative per voxel
     lkey = _leaf_key_dyn(xyz, vmap.leaf)
+    slot = jnp.clip(slot, 0, H - 1)
+    slot = jnp.where(mask, slot, H - 1)
 
-    # drop points whose leaf voxel already exists in the target slab
+    # representatives whose leaf voxel already exists fold into the stored
+    # running centroid (pcl::VoxelGrid keeps centroids; first-point-only
+    # stored a noisier map) instead of being dropped
     slab_keys = vmap.leaf_key[slot]                     # (n, P)
     occup = jnp.arange(P)[None, :] < vmap.count[slot][:, None]
-    dup = jnp.any((slab_keys == lkey[:, None]) & occup, axis=1)
-    keep = keep & ~dup
+    match = (slab_keys == lkey[:, None]) & occup
+    dup = jnp.any(match, axis=1)
+    dup_pos = jnp.argmax(match, axis=1)                 # first matching slot
+    keep = rep & ~dup
+    # at most one fold per (slot, pos) per batch -> exact running mean
+    upd = (rep & dup) if centroid_updates else jnp.zeros_like(dup)
+    u_slot = jnp.where(upd, slot, H)
+    u_pos = jnp.where(upd, dup_pos, 0)
+    n_obs = vmap.n_obs.at[u_slot, u_pos].add(
+        upd.astype(jnp.float32), mode="drop")
+    denom = jnp.maximum(n_obs[jnp.clip(u_slot, 0, H - 1), u_pos], 1.0)
+    delta = (xyz - vmap.points[jnp.clip(u_slot, 0, H - 1), u_pos]) \
+        / denom[:, None]
+    new_points = vmap.points.at[u_slot, u_pos].add(
+        jnp.where(upd[:, None], delta, 0.0), mode="drop")
 
     # rank new points within their slot (stable) to get write offsets
     sent = jnp.int32(H)
@@ -120,11 +151,14 @@ def insert(vmap: VoxelHashMap, xyz: Array, mask: Array) -> VoxelHashMap:
     w_slot = jnp.where(ok, slot, H)   # out-of-bounds => dropped by mode="drop"
     w_dest = jnp.where(ok, dest, 0)
 
-    new_points = vmap.points.at[w_slot, w_dest].set(xyz, mode="drop")
+    new_points = new_points.at[w_slot, w_dest].set(xyz, mode="drop")
     new_keys = vmap.leaf_key.at[w_slot, w_dest].set(lkey, mode="drop")
+    n_obs = n_obs.at[w_slot, w_dest].set(
+        jnp.ones((n,), jnp.float32), mode="drop")
     new_count = vmap.count.at[w_slot].add(ok.astype(jnp.int32), mode="drop")
     new_count = jnp.minimum(new_count, P)
-    return vmap._replace(points=new_points, leaf_key=new_keys, count=new_count)
+    return vmap._replace(points=new_points, leaf_key=new_keys,
+                         count=new_count, n_obs=n_obs)
 
 
 def _dedup_batch(xyz: Array, mask: Array, leaf: Array) -> Array:
