@@ -69,6 +69,9 @@ class MappingConfig:
     map_table_size: int = 1 << 15      # hash table slots per feature map
     map_cell_capacity: int = 32        # point slab per cell
     max_query_points: int = 4096       # static query batch per feature type
+    map_evict_radius: float = 100.0    # release cells beyond this (60 m query
+                                       # horizon analog, hybrid_grid.cc:532)
+    map_evict_period: int = 10         # frames between eviction passes
 
 
 @dataclasses.dataclass(frozen=True)

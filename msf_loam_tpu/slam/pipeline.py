@@ -304,6 +304,7 @@ class SlamPipeline:
 
         self.prev_scan = scan
         self.frame_idx += 1
+        self._maybe_evict()
         res = FrameResult(
             time=float(scan.time), odom_pose=self.pose_odom,
             map_pose=self.pose_map, n_correspondences=n_corr, ok=odom_ok)
@@ -339,11 +340,22 @@ class SlamPipeline:
                 self.pose_odom2map, jnp.bool_(is_first))
         self.prev_scan = scan
         self.frame_idx += 1
+        self._maybe_evict()
         res = FrameResult(
             time=scan_time, odom_pose=self.pose_odom, map_pose=self.pose_map,
             n_correspondences=float(n_corr), ok=bool(ok))
         self.results.append(res)
         return res
+
+    def _maybe_evict(self) -> None:
+        """Bound hash-table occupancy on long trajectories: periodically
+        release cells far from the current pose (60 m horizon analog)."""
+        mc = self.cfg.mapping
+        if mc.map_evict_period > 0 and self.frame_idx % mc.map_evict_period == 0:
+            self.corner_map = voxel_map.evict_far(
+                self.corner_map, self.pose_map.t, mc.map_evict_radius)
+            self.surf_map = voxel_map.evict_far(
+                self.surf_map, self.pose_map.t, mc.map_evict_radius)
 
     # ------------------------------------------------------------------
     def _process_scan_fused(self, scan: ScanFeatures) -> FrameResult:
@@ -360,6 +372,7 @@ class SlamPipeline:
                 jnp.bool_(is_first))
         self.prev_scan = scan
         self.frame_idx += 1
+        self._maybe_evict()
         res = FrameResult(
             time=float(scan.time), odom_pose=self.pose_odom,
             map_pose=self.pose_map,

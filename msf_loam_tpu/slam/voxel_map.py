@@ -161,6 +161,25 @@ def insert_at_slots(vmap: VoxelHashMap, xyz: Array, mask: Array,
                          count=new_count, n_obs=n_obs)
 
 
+@jax.jit
+def evict_far(vmap: VoxelHashMap, center: Array, radius: float = 100.0
+              ) -> VoxelHashMap:
+    """Release slots whose content is farther than ``radius`` from center.
+
+    The reference keeps an unbounded grid but only queries a 60 m surround
+    (hybrid_grid.cc:474,532); a fixed-size hash table instead needs
+    eviction so km-scale trajectories don't exhaust slots via collisions.
+    Run every few frames with the current pose: slots anchored (first
+    stored point) beyond the radius reset to empty. O(H) elementwise.
+    """
+    anchor = vmap.points[:, 0, :]                       # (H, 3)
+    d2 = jnp.sum((anchor - center[None, :]) ** 2, axis=-1)
+    far = (vmap.count > 0) & (d2 > radius * radius)
+    new_count = jnp.where(far, 0, vmap.count)
+    new_keys = jnp.where(far[:, None], -1, vmap.leaf_key)
+    return vmap._replace(count=new_count, leaf_key=new_keys)
+
+
 def _dedup_batch(xyz: Array, mask: Array, leaf: Array) -> Array:
     """One representative per leaf voxel within the incoming batch."""
     n = xyz.shape[0]

@@ -89,3 +89,27 @@ def test_neighbors_across_cell_boundary():
                                           jnp.ones(1, bool), k=2)
     assert bool(valid[0, 0]) and bool(valid[0, 1])
     np.testing.assert_allclose(np.asarray(d2[0]).sum(), 2 * 0.01 ** 2, atol=1e-5)
+
+
+def test_evict_far_releases_distant_cells():
+    m = _new_map()
+    near = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+    far = (RNG.uniform(-5, 5, size=(200, 3)) + 500.0).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(near), jnp.ones(200, bool))
+    m = voxel_map.insert(m, jnp.asarray(far), jnp.ones(200, bool))
+    total_before = int(m.total_points())
+    m = voxel_map.evict_far(m, jnp.zeros(3), radius=100.0)
+    total_after = int(m.total_points())
+    assert total_after < total_before
+    # near points still queryable, far gone
+    d2, _, valid = voxel_map.query_knn(m, jnp.asarray(near[:8]),
+                                       jnp.ones(8, bool), k=1)
+    assert bool(np.asarray(valid).any())
+    d2, _, valid = voxel_map.query_knn(m, jnp.asarray(far[:8]),
+                                       jnp.ones(8, bool), k=1)
+    assert not bool(np.asarray(valid).any())
+    # released slots are reusable
+    m = voxel_map.insert(m, jnp.asarray(far[:50]), jnp.ones(50, bool))
+    d2, _, valid = voxel_map.query_knn(m, jnp.asarray(far[:8]),
+                                       jnp.ones(8, bool), k=1)
+    assert bool(np.asarray(valid).any())
