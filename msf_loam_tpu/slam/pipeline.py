@@ -126,6 +126,76 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
             odo.n_correspondences, odo.ok | is_first)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("corner_map", "surf_map"))
+def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
+                    prev_scan: ScanFeatures, ring_image, scan_time,
+                    pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose,
+                    is_first,
+                    pair_dts, pair_accs, pair_gyrs, pair_valid,
+                    scan_dts, scan_accs, scan_gyrs, scan_valid,
+                    prev_p, prev_q, prev_v, gravity):
+    """The tightly-coupled (post-init) frame as ONE device program:
+    extraction + scan-to-scan GN + pair/scan preintegration + IMU pre-solve
+    + deskew-aware scan-to-map GN + full deskew + insert. The host only
+    slices IMU windows (imu/buffer.py) between dispatches."""
+    from msf_loam_tpu.ops import features as feat_mod
+
+    oc, mc, ic = cfg.odometry, cfg.mapping, cfg.imu
+    scan = feat_mod.extract_features(ring_image, scan_time, cfg.features)
+
+    odo = odometry.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    use = odo.ok & ~is_first
+    pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
+                            odo.pose_curr2last, pose_c2l)
+    step_pose = jax.tree.map(lambda i, p: jnp.where(is_first, i, p),
+                             Pose.identity(), pose_c2l)
+    pose_odom = pose_odom.compose(step_pose)
+
+    corner_ds = downsample_features(scan.corner_less_sharp,
+                                    mc.line_resolution, mc.max_query_points)
+    surf_ds = downsample_features(scan.surf_less_flat,
+                                  mc.plane_resolution, mc.max_query_points)
+
+    # IMU prediction of this frame's state from the previous mapped state
+    pre_pair = preint_mod.preintegrate(
+        pair_dts, pair_accs, pair_gyrs, pair_valid,
+        jnp.zeros(3), jnp.zeros(3), ic)
+    prev_state = imu_factor_mod.ImuState(
+        pose=Pose(prev_p, prev_q), v=prev_v,
+        ba=jnp.zeros(3), bg=jnp.zeros(3))
+    pred = imu_factor_mod.imu_presolve(pre_pair, prev_state, gravity,
+                                       info_scale=ic.sqrt_info_scale)
+
+    # per-point deskew terms over the scan window
+    pre_scan = preint_mod.preintegrate(
+        scan_dts, scan_accs, scan_gyrs, scan_valid,
+        jnp.zeros(3), jnp.zeros(3), ic)
+    corner_dk = deskew_mod.deskew_terms(pre_scan, corner_ds.rel_time, gravity)
+    surf_dk = deskew_mod.deskew_terms(pre_scan, surf_ds.rel_time, gravity)
+
+    mres = mapping.match_scan2map_deskew(
+        corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
+        gravity, corner_dk, surf_dk, mc)
+    guess = pose_o2m.compose(pose_odom)
+    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
+                            mres.pose, guess)
+    pose_o2m = pose_map.compose(pose_odom.inverse())
+
+    # full deskew (velocity+gravity) before insertion (laser_mapping.cc:197-211)
+    corner_fix = deskew_mod.undistort_full(corner_ds, pre_scan, pose_map,
+                                           pred.v, gravity)
+    surf_fix = deskew_mod.undistort_full(surf_ds, pre_scan, pose_map,
+                                         pred.v, gravity)
+    cw = corner_fix.transform(pose_map)
+    sw = surf_fix.transform(pose_map)
+    corner_map = voxel_map.insert(corner_map, cw.xyz, cw.mask)
+    surf_map = voxel_map.insert(surf_map, sw.xyz, sw.mask)
+
+    return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
+            pred.v, odo.n_correspondences, odo.ok | is_first, scan)
+
+
 class SlamPipeline:
     """Stateful frame-by-frame SLAM driver (single trajectory)."""
 
@@ -313,11 +383,15 @@ class SlamPipeline:
 
     # ------------------------------------------------------------------
     def process_ring_image(self, ring_image, scan_time: float) -> FrameResult:
-        """Lidar-only fast path: raw RingImage -> one fused device dispatch
-        (feature extraction included). Falls back to process_scan when IMU
-        is active (the IMU branch needs host-side windowing)."""
+        """Raw RingImage -> one fused device dispatch per frame (feature
+        extraction included). Initialized-LIO frames run the tightly-coupled
+        fused program; pre-init IMU frames fall back to the modular path
+        (rotation-only deskew + estimator warm-up)."""
         import jax.numpy as jnp
 
+        if self.has_imu and self.is_initialized and self._states \
+                and self.prev_scan is not None:
+            return self._process_lio_fused(ring_image, scan_time)
         if self.has_imu:
             from msf_loam_tpu.ops import features as feat_mod
             feats = feat_mod.extract_features(
@@ -356,6 +430,44 @@ class SlamPipeline:
                 self.corner_map, self.pose_map.t, mc.map_evict_radius)
             self.surf_map = voxel_map.evict_far(
                 self.surf_map, self.pose_map.t, mc.map_evict_radius)
+
+    # ------------------------------------------------------------------
+    def _process_lio_fused(self, ring_image, scan_time: float) -> FrameResult:
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        prev = self._states[-1]
+        wp = self.imu_buffer.window(prev["time"], scan_time,
+                                    cfg.imu.max_imu_samples,
+                                    cfg.imu.max_lidar_imu_offset)
+        ws = self.imu_buffer.window(scan_time,
+                                    scan_time + cfg.features.scan_period,
+                                    cfg.imu.max_imu_samples,
+                                    cfg.imu.max_lidar_imu_offset)
+        with self.timers.stage("SLAM", "fused-lio-frame"):
+            (self.corner_map, self.surf_map, self.pose_curr2last,
+             self.pose_odom, self.pose_odom2map, self.pose_map,
+             self.velocity, n_corr, ok, scan) = fused_lio_frame(
+                cfg, self.corner_map, self.surf_map, self.prev_scan,
+                ring_image, jnp.float32(scan_time),
+                self.pose_curr2last, self.pose_odom, self.pose_odom2map,
+                jnp.bool_(False),
+                jnp.asarray(wp.dts), jnp.asarray(wp.accs),
+                jnp.asarray(wp.gyrs), jnp.asarray(wp.valid),
+                jnp.asarray(ws.dts), jnp.asarray(ws.accs),
+                jnp.asarray(ws.gyrs), jnp.asarray(ws.valid),
+                jnp.asarray(prev["p"]), jnp.asarray(prev["q"]),
+                jnp.asarray(prev["v"]), self.gravity)
+        with self.timers.stage("EST", "add-data"):
+            self._estimator_add(scan_time, self.pose_map, self.velocity)
+        self.prev_scan = scan
+        self.frame_idx += 1
+        self._maybe_evict()
+        res = FrameResult(
+            time=scan_time, odom_pose=self.pose_odom, map_pose=self.pose_map,
+            n_correspondences=float(n_corr), ok=bool(ok))
+        self.results.append(res)
+        return res
 
     # ------------------------------------------------------------------
     def _process_scan_fused(self, scan: ScanFeatures) -> FrameResult:

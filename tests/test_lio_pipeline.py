@@ -103,3 +103,37 @@ def test_lidar_only_still_works_on_distorted_scans():
     traj = pipe.trajectory()
     err = ate_rmse(traj[:, 1:4], gt, align=False)
     assert err < 0.25, f"lidar-only ATE {err:.3f} m"
+
+
+def test_lio_fused_ring_image_path():
+    """process_ring_image routes initialized-LIO frames through the fused
+    device program; it must land near the modular process_scan path."""
+    from msf_loam_tpu.dataio import preprocess as pp
+
+    def _run_ring(n_frames, init_frames=6):
+        pipe = SlamPipeline(_config(init_frames))
+        t0 = 1.0
+        t = t0 - 0.5
+        while t < t0 + n_frames * FRAME_DT + 0.2:
+            acc, gyr = _imu_at(t)
+            pipe.add_imu(t, acc, gyr)
+            t += 1.0 / IMU_HZ
+        p0, R0 = _pose_at(t0)
+        gt = []
+        for i in range(n_frames):
+            ts = t0 + i * FRAME_DT
+            gt.append(R0.T @ (_pose_at(ts)[0] - p0))
+            p, R = _pose_at(ts)
+            xyz, ring = synthetic.simulate_scan(
+                WORLD, p, R, n_rings=16, pts_per_ring=1800, noise=0.004,
+                seed=i, linear_vel=V0, yaw_rate=YAW_RATE)
+            img = pp.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+            pipe.process_ring_image(img, ts)
+        return pipe, np.asarray(gt)
+
+    n = 9
+    pipe, gt = _run_ring(n)
+    assert pipe.is_initialized
+    traj = pipe.trajectory()
+    err = ate_rmse(traj[:, 1:4], gt, align=False)
+    assert err < 0.15, f"fused LIO ATE {err:.3f} m"
