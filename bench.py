@@ -52,14 +52,8 @@ def main():
     # persistent compilation cache: first-ever compile of the fused frame
     # program is minutes over the remote-TPU tunnel; subsequent runs load
     # from cache in seconds
-    import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from msf_loam_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     fcfg, mcfg, ocfg, img = build_inputs()
 

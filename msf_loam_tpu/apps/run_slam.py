@@ -63,7 +63,10 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from msf_loam_tpu.config import FeatureConfig, MsfLoamConfig
+    from msf_loam_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from msf_loam_tpu.config import MsfLoamConfig
     from msf_loam_tpu.dataio import artifacts, preprocess
     from msf_loam_tpu.slam.pipeline import SlamPipeline, ate_rmse
 

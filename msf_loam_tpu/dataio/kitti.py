@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ mapping loop (``laser_mapping.cc:197-211``).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from msf_loam_tpu.core.pointcloud import PointBatch, ScanFeatures
 from msf_loam_tpu.core.se3 import Pose, quat_conjugate, quat_rotate

@@ -23,7 +23,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from msf_loam_tpu.core.se3 import quat_conjugate, quat_rotate, quat_to_matrix
+from msf_loam_tpu.core.se3 import quat_conjugate, quat_to_matrix
 
 Array = jax.Array
 

@@ -11,7 +11,6 @@ reduction named in BASELINE.json's north star.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

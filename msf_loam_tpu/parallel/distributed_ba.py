@@ -21,7 +21,6 @@ gps_fusion.cc:27-97.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ CG on the same factor machinery) is the designated follow-up.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

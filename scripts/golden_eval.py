@@ -28,6 +28,9 @@ def main():
 
     import jax.numpy as jnp
 
+    from msf_loam_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from msf_loam_tpu.config import (FeatureConfig, ImuConfig, MappingConfig,
                                      MsfLoamConfig)
     from msf_loam_tpu.core.se3 import Pose

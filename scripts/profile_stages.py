@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from msf_loam_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from msf_loam_tpu.config import FeatureConfig, MappingConfig, OdometryConfig
     from msf_loam_tpu.core.se3 import Pose
     from msf_loam_tpu.dataio import preprocess, synthetic
