@@ -24,7 +24,14 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--json", default=None)
     ap.add_argument("--imu_frames", type=int, default=40)
+    ap.add_argument("--only", choices=["odo", "map", "gps", "lio"],
+                    default=None,
+                    help="run a single section (compile-budget splitting "
+                         "for first runs over the remote-TPU link)")
     args = ap.parse_args()
+
+    def enabled(name):
+        return args.only is None or args.only == name
 
     import jax.numpy as jnp
 
@@ -70,52 +77,64 @@ def main():
     results = {}
 
     # (1) scan-to-scan only
-    t0 = time.perf_counter()
-    pose_w = Pose.identity()
-    c2l = Pose.identity()
-    feats = [feat_mod.extract_features(im, jnp.float32(0.1 * i), fcfg)
-             for i, im in enumerate(imgs)]
-    odo_t = [np.zeros(3)]
-    for i in range(1, n):
-        out = odometry.match_scan2scan(feats[i - 1], feats[i], c2l,
-                                       cfg.odometry)
-        c2l = out.pose_curr2last
-        pose_w = pose_w.compose(c2l)
-        odo_t.append(np.asarray(pose_w.t))
-    results["odometry_only"] = {
-        "ate_rmse_m": round(ate_rmse(np.asarray(odo_t), gt, align=False), 4),
-        "elapsed_s": round(time.perf_counter() - t0, 1)}
-    print("odometry_only:", results["odometry_only"], flush=True)
+    if enabled("odo"):
+        t0 = time.perf_counter()
+        pose_w = Pose.identity()
+        c2l = Pose.identity()
+        feats = [feat_mod.extract_features(im, jnp.float32(0.1 * i), fcfg)
+                 for i, im in enumerate(imgs)]
+        odo_t = [np.zeros(3)]
+        for i in range(1, n):
+            out = odometry.match_scan2scan(feats[i - 1], feats[i], c2l,
+                                           cfg.odometry)
+            c2l = out.pose_curr2last
+            pose_w = pose_w.compose(c2l)
+            odo_t.append(np.asarray(pose_w.t))
+        results["odometry_only"] = {
+            "ate_rmse_m": round(ate_rmse(np.asarray(odo_t), gt, align=False), 4),
+            "elapsed_s": round(time.perf_counter() - t0, 1)}
+        print("odometry_only:", results["odometry_only"], flush=True)
 
-    # (2) full scan-to-map
-    t0 = time.perf_counter()
-    pipe = SlamPipeline(cfg)
-    for i, im in enumerate(imgs):
-        pipe.process_ring_image(im, 0.1 * i)
-    traj = pipe.trajectory()
-    results["scan_to_map"] = {
-        "ate_rmse_m": round(ate_rmse(traj[:, 1:4], gt, align=False), 4),
-        "elapsed_s": round(time.perf_counter() - t0, 1)}
-    print("scan_to_map:", results["scan_to_map"], flush=True)
+    # (2) full scan-to-map (also feeds (3))
+    if enabled("map") or enabled("gps"):
+        t0 = time.perf_counter()
+        pipe = SlamPipeline(cfg)
+        for i, im in enumerate(imgs):
+            pipe.process_ring_image(im, 0.1 * i)
+        traj = pipe.trajectory()
+        results["scan_to_map"] = {
+            "ate_rmse_m": round(ate_rmse(traj[:, 1:4], gt, align=False), 4),
+            "elapsed_s": round(time.perf_counter() - t0, 1)}
+        print("scan_to_map:", results["scan_to_map"], flush=True)
 
     # (3) + GPS pose graph (1 Hz, 5 cm noise)
-    rng = np.random.default_rng(0)
-    sel = np.arange(0, n, 10)
-    gps_xyz = gt[sel] + rng.uniform(-0.05, 0.05, size=(len(sel), 3))
-    poses = Pose(t=jnp.asarray(traj[:, 1:4], dtype=jnp.float32),
-                 q=jnp.asarray(traj[:, 4:8], dtype=jnp.float32))
-    data = posegraph.build_graph_data(
-        jnp.asarray(traj[:, 0], dtype=jnp.float32), poses,
-        jnp.asarray(traj[sel, 0], dtype=jnp.float32),
-        jnp.asarray(gps_xyz, dtype=jnp.float32),
-        jnp.ones(len(sel), bool))
-    out = posegraph.optimize(poses, data, cfg.posegraph, n_iters=10)
-    results["with_gps_graph"] = {
-        "ate_rmse_m": round(ate_rmse(np.asarray(out.poses.t), gt,
-                                     align=False), 4)}
-    print("with_gps_graph:", results["with_gps_graph"], flush=True)
+    if enabled("gps"):
+        rng = np.random.default_rng(0)
+        sel = np.arange(0, n, 10)
+        gps_xyz = gt[sel] + rng.uniform(-0.05, 0.05, size=(len(sel), 3))
+        poses = Pose(t=jnp.asarray(traj[:, 1:4], dtype=jnp.float32),
+                     q=jnp.asarray(traj[:, 4:8], dtype=jnp.float32))
+        data = posegraph.build_graph_data(
+            jnp.asarray(traj[:, 0], dtype=jnp.float32), poses,
+            jnp.asarray(traj[sel, 0], dtype=jnp.float32),
+            jnp.asarray(gps_xyz, dtype=jnp.float32),
+            jnp.ones(len(sel), bool))
+        out = posegraph.optimize(poses, data, cfg.posegraph, n_iters=10)
+        results["with_gps_graph"] = {
+            "ate_rmse_m": round(ate_rmse(np.asarray(out.poses.t), gt,
+                                         align=False), 4)}
+        print("with_gps_graph:", results["with_gps_graph"], flush=True)
 
     # (4) LIO on motion-distorted scans
+    if not enabled("lio"):
+        import jax
+        results["platform"] = jax.devices()[0].platform
+        results["frames"] = n
+        print(json.dumps(results))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1)
+        return
     t0 = time.perf_counter()
     n_imu = args.imu_frames
     lio_cfg = MsfLoamConfig(
