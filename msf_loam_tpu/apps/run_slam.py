@@ -194,10 +194,14 @@ def main(argv=None) -> int:
             jnp.asarray(np.asarray(gps_times), dtype=jnp.float32),
             jnp.asarray(np.asarray(gps_xyz), dtype=jnp.float32),
             jnp.ones(len(gps_times), bool))
+        # pad to a size class so repeated runs reuse the compiled program
+        n_real = len(traj)
+        poses, data = posegraph.pad_graph(
+            poses, data, posegraph.next_bucket(n_real))
         out = posegraph.optimize(poses, data, cfg.posegraph,
                                  n_iters=cfg.posegraph.iterations)
-        traj[:, 1:4] = np.asarray(out.poses.t)
-        traj[:, 4:8] = np.asarray(out.poses.q)
+        traj[:, 1:4] = np.asarray(out.poses.t[:n_real])
+        traj[:, 4:8] = np.asarray(out.poses.q[:n_real])
         summary["posegraph_cost"] = [float(out.initial_cost),
                                      float(out.final_cost)]
 

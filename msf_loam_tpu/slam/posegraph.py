@@ -193,6 +193,43 @@ def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
     return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
 
 
+def pad_graph(poses: Pose, data: PoseGraphData, to_n: int
+              ) -> Tuple[Pose, PoseGraphData]:
+    """Pad a graph to ``to_n`` poses so jit programs bucket by size class
+    instead of compiling per trajectory length.
+
+    Padding poses chain to the last real pose with identity relative
+    measurements and rel_valid=True — they stay glued to it and never
+    affect real poses (no GPS ties land on them)."""
+    n = poses.t.shape[0]
+    assert to_n >= n
+    pad = to_n - n
+    if pad == 0:
+        return poses, data
+    last_t = jnp.broadcast_to(poses.t[-1], (pad, 3))
+    last_q = jnp.broadcast_to(poses.q[-1], (pad, 4))
+    poses_p = Pose(t=jnp.concatenate([poses.t, last_t]),
+                   q=jnp.concatenate([poses.q, last_q]))
+    dt = 1.0
+    times_p = jnp.concatenate([
+        data.times, data.times[-1] + dt * (1.0 + jnp.arange(pad))])
+    rel_pad = Pose.identity((pad,))
+    rel_meas_p = Pose(t=jnp.concatenate([data.rel_meas.t, rel_pad.t]),
+                      q=jnp.concatenate([data.rel_meas.q, rel_pad.q]))
+    rel_valid_p = jnp.concatenate([data.rel_valid, jnp.ones(pad, bool)])
+    return poses_p, data._replace(times=times_p, rel_meas=rel_meas_p,
+                                  rel_valid=rel_valid_p)
+
+
+def next_bucket(n: int, buckets=(64, 128, 256, 512, 1024, 2048, 4096, 8192)
+                ) -> int:
+    """Smallest standard size class >= n."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return n
+
+
 def _huber_w(r: Array, delta: float) -> Array:
     nrm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-30)
     return jnp.minimum(1.0, delta / nrm)

@@ -126,3 +126,19 @@ def test_no_gps_is_noop():
         gps_valid=jnp.zeros((0,), bool))
     out = posegraph.optimize(gt, data, CFG, n_iters=5)
     np.testing.assert_allclose(np.asarray(out.poses.t), np.asarray(gt.t), atol=1e-4)
+
+
+def test_padded_graph_matches_unpadded():
+    """Bucketed padding must not change the solution for real poses."""
+    n = 25
+    ts, gt, est = _make_trajectory(n, drift=0.02)
+    gps_t = np.asarray(ts[::5], np.float32)
+    data = posegraph.build_graph_data(
+        jnp.asarray(ts, dtype=jnp.float32), est,
+        jnp.asarray(gps_t), gt.t[::5], jnp.ones(len(gps_t), bool))
+    out_plain = posegraph.optimize(est, data, CFG, n_iters=8)
+    poses_p, data_p = posegraph.pad_graph(est, data, posegraph.next_bucket(n))
+    assert poses_p.t.shape[0] == 64
+    out_pad = posegraph.optimize(poses_p, data_p, CFG, n_iters=8)
+    np.testing.assert_allclose(np.asarray(out_pad.poses.t[:n]),
+                               np.asarray(out_plain.poses.t), atol=2e-3)
