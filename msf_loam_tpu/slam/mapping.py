@@ -40,12 +40,17 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                corner: PointBatch, surf: PointBatch, pose: Pose,
                cfg: MappingConfig,
                corner_world: Optional[Array] = None,
-               surf_world: Optional[Array] = None) -> MapCorrespondences:
+               surf_world: Optional[Array] = None,
+               query_fn=None) -> MapCorrespondences:
     """Find line/plane correspondences for all scan features at once.
 
     corner_world/surf_world override the query positions (used by the
     deskew path where per-point IMU compensation shifts the query).
+    ``query_fn(map, xyz, mask, k)`` overrides the kNN backend (the sharded
+    pipeline passes the all-gather-merged multi-device query).
     """
+    if query_fn is None:
+        query_fn = query_knn
     cw = corner_world if corner_world is not None else pose.apply(corner.xyz)
     sw = surf_world if surf_world is not None else pose.apply(surf.xyz)
 
@@ -55,13 +60,13 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     # overlap them instead.
 
     # corners: 5-NN, gate on the 5th distance, line fit + eigen-ratio test
-    d2c, nc_xyz, nc_valid = query_knn(corner_map, cw, corner.mask, k=cfg.knn)
+    d2c, nc_xyz, nc_valid = query_fn(corner_map, cw, corner.mask, k=cfg.knn)
     gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
     lines = fitting.fit_lines(nc_xyz, nc_valid, cfg.line_eig_ratio)
     edge_valid = gate_c & lines.valid
 
     # surfs: 5-NN, plane fit + planarity tolerance
-    d2s, ns_xyz, ns_valid = query_knn(surf_map, sw, surf.mask, k=cfg.knn)
+    d2s, ns_xyz, ns_valid = query_fn(surf_map, sw, surf.mask, k=cfg.knn)
     gate_s = (d2s[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & surf.mask
     planes = fitting.fit_planes(ns_xyz, ns_valid, cfg.plane_fit_tol)
     plane_valid = gate_s & planes.valid
@@ -89,6 +94,16 @@ def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                    pose0: Pose, cfg: MappingConfig) -> MappingResult:
     """Loosely-coupled scan-to-map GN (pre-IMU-init path,
     mapping_scan_matcher.cc:95-97,122-123)."""
+    return match_scan2map_core(corner_map, surf_map, scan_corner, scan_surf,
+                               pose0, cfg)
+
+
+def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
+                        scan_corner: PointBatch, scan_surf: PointBatch,
+                        pose0: Pose, cfg: MappingConfig,
+                        query_fn=None) -> MappingResult:
+    """Unjitted matcher core; ``query_fn`` swaps the kNN backend (the
+    sharded pipeline passes the multi-device query)."""
     pose = pose0
     n_edge = jnp.float32(0.0)
     n_plane = jnp.float32(0.0)
@@ -98,7 +113,8 @@ def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
              (surf_map.total_points() > cfg.min_map_surf)
 
     for _ in range(cfg.outer_rounds):
-        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose, cfg)
+        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
+                          cfg, query_fn=query_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 

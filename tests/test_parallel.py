@@ -90,3 +90,44 @@ def test_distributed_tridiag_short_segments():
         mesh, jnp.asarray(D), jnp.asarray(U), jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_pipeline_matches_dense():
+    """End-to-end config-5: the sharded-map pipeline must track the same
+    trajectory as the single-device pipeline (queries are exact)."""
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import FeatureConfig, MappingConfig, MsfLoamConfig
+    from msf_loam_tpu.dataio import preprocess, synthetic
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.parallel.sharded_pipeline import ShardedSlamPipeline
+    from msf_loam_tpu.slam.pipeline import SlamPipeline
+
+    fcfg = FeatureConfig(max_points_per_ring=1024, max_less_flat=4096)
+    cfg = MsfLoamConfig(
+        features=fcfg,
+        mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
+                              max_query_points=1024))
+    world = synthetic.World.corridor(seed=0, size=12.0)
+    scans = []
+    for i in range(4):
+        t = np.array([0.25 * i, 0.05 * i, 0.0])
+        xyz, ring = synthetic.simulate_scan(world, t, np.eye(3), n_rings=16,
+                                            pts_per_ring=900, noise=0.004,
+                                            seed=i)
+        img = preprocess.preprocess_scan(xyz, ring, fcfg, 16)
+        scans.append(feat_mod.extract_features(img, jnp.float32(0.1 * i), fcfg))
+
+    mesh = mesh_mod.make_mesh(n_map=8, n_data=1)
+    sp = ShardedSlamPipeline(cfg, mesh)
+    dp = SlamPipeline(cfg)
+    for s in scans:
+        sp.process_scan(s)
+        dp.process_scan(s)
+
+    np.testing.assert_allclose(np.asarray(sp.pose_map.t),
+                               np.asarray(dp.pose_map.t), atol=5e-3)
+    # float-tolerance pose differences shift a few points across leaf-voxel
+    # boundaries; totals must agree to a fraction of a percent
+    a, b = int(sp.corner_map.count.sum()), int(dp.corner_map.count.sum())
+    assert abs(a - b) <= max(5, 0.005 * b), (a, b)
