@@ -51,8 +51,25 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="also write reference-format trajectory.pbstream")
     ap.add_argument("--profile_dir",
                     help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--map_shards", type=int, default=0,
+                    help="shard the voxel map over N devices "
+                         "(config-5 distributed mapping; lidar-only)")
     ap.add_argument("--quiet", action="store_true")
     return ap
+
+
+def _make_pipeline(cfg, args):
+    """SlamPipeline, or the sharded-map variant when --map_shards is set."""
+    from msf_loam_tpu.slam.pipeline import SlamPipeline
+
+    if args.map_shards and args.map_shards > 1:
+        from msf_loam_tpu.parallel import mesh as mesh_mod
+        from msf_loam_tpu.parallel.runtime import initialize
+        from msf_loam_tpu.parallel.sharded_pipeline import ShardedSlamPipeline
+        initialize()
+        mesh = mesh_mod.make_mesh(n_map=args.map_shards, n_data=1)
+        return ShardedSlamPipeline(cfg, mesh)
+    return SlamPipeline(cfg)
 
 
 def main(argv=None) -> int:
@@ -93,7 +110,7 @@ def main(argv=None) -> int:
         n_rings = 16
         fcfg = dataclasses.replace(cfg.features, max_points_per_ring=2048)
         cfg = dataclasses.replace(cfg, features=fcfg)
-        pipe = SlamPipeline(cfg)
+        pipe = _make_pipeline(cfg, args)
         world = synthetic.World.corridor(seed=0, size=12.0)
         n = args.selftest_frames
         for i in range(n):
@@ -150,7 +167,7 @@ def main(argv=None) -> int:
         from msf_loam_tpu.dataio.kitti import KittiSequence
         seq = KittiSequence(args.kitti_root, args.sequence,
                             n_rings=args.n_rings)
-        pipe = SlamPipeline(cfg)
+        pipe = _make_pipeline(cfg, args)
         end = args.max_frames or len(seq)
         counter = 0
         # native C++ prefetcher feeds preprocessed ring images when built

@@ -13,7 +13,6 @@ On a pod slice the same code runs with ICI collectives carrying the merge;
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import List, Optional
 
@@ -66,6 +65,19 @@ class ShardedSlamPipeline:
         self.prev_scan: Optional[ScanFeatures] = None
         self.results: List[FrameResult] = []
         self.frame_idx = 0
+        # CLI-compat surface (run_slam uses these; IMU not supported here)
+        self.is_initialized = False
+        self.gravity = jnp.asarray(config.imu.gravity, dtype=jnp.float32)
+        from msf_loam_tpu.imu.buffer import ImuBuffer
+        self.imu_buffer = ImuBuffer(capacity=1)
+
+    def process_ring_image(self, ring_image, scan_time: float) -> FrameResult:
+        """Ring-image API parity with SlamPipeline (extraction replicated)."""
+        from msf_loam_tpu.ops import features as feat_mod
+
+        feats = feat_mod.extract_features(
+            ring_image, jnp.float32(scan_time), self.cfg.features)
+        return self.process_scan(feats)
 
     def process_scan(self, scan: ScanFeatures) -> FrameResult:
         cfg = self.cfg
