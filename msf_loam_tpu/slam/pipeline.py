@@ -41,7 +41,10 @@ import functools
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def downsample_features(pb: PointBatch, leaf: float, capacity: int) -> PointBatch:
     """Voxel-thin a feature cloud and compact to a fixed query budget
-    (FilterLessFlatLessCornerFeature, laser_mapping.cc:340-364)."""
+    (FilterLessFlatLessCornerFeature, laser_mapping.cc:340-364).
+
+    Compaction via argsort — a cumsum+scatter variant measured SLOWER on
+    TPU (112.6 -> 94.3 scans/s; scatters lose to the sort here)."""
     keep = voxel_downsample_masked(pb.xyz, pb.mask, leaf)
     order = jnp.argsort(~keep, stable=True)[:capacity]
     return PointBatch(
