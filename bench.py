@@ -20,9 +20,12 @@ import time
 
 import numpy as np
 
+import os as _os
+
 N_FRAMES = 30          # frames per timed scan (device-side loop)
-N_RINGS = 16
-PTS_PER_RING = 1800
+# default: VLP-16 shapes; MSF_BENCH_RINGS=64 benches HDL-64/KITTI scale
+N_RINGS = int(_os.environ.get("MSF_BENCH_RINGS", "16"))
+PTS_PER_RING = int(_os.environ.get("MSF_BENCH_PTS", "1800"))
 BASELINE_SCANS_PER_SEC = 10.0
 
 

@@ -83,3 +83,19 @@ def test_realtime_replay_drops_when_busy(tmp_path):
     dropped = [d for m, d in bag.replay_realtime(speed=50.0, busy_until=free)
                if isinstance(m, ScanMsg)]
     assert not any(dropped)
+
+
+def test_kitti_to_bag_cli(tmp_path, capsys):
+    from msf_loam_tpu.apps.kitti_to_bag import main as conv_main
+    root = str(tmp_path / "kitti")
+    kitti.make_synthetic_kitti_sequence(root, "00", n_frames=3,
+                                        pts_per_ring=300)
+    out = str(tmp_path / "seq.npz")
+    rc = conv_main(["--kitti_root", root, "--sequence", "00", "--output", out,
+                    "--n_rings", "16", "--imu_rate", "100", "--latency", "0.02"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["scans"] == 3
+    bag = Bag(out)
+    # latency re-stamp applied
+    assert abs(bag.scan(0).time - 0.02) < 1e-6
