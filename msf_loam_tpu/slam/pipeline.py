@@ -117,7 +117,12 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     guess = pose_o2m.compose(pose_odom)
     mres = mapping_mod.match_scan2map(corner_map, surf_map, corner_ds,
                                       surf_ds, guess, mc)
-    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
+    # watchdog: a non-finite solve (degenerate geometry) falls back to the
+    # odometry guess instead of poisoning the map (the reference aborts on
+    # CHECKs; a production pipeline must degrade instead — SURVEY.md §5)
+    finite = jnp.all(jnp.isfinite(mres.pose.t)) & \
+        jnp.all(jnp.isfinite(mres.pose.q))
+    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok & finite, n, o),
                             mres.pose, guess)
     pose_o2m = pose_map.compose(pose_odom.inverse())
 
@@ -494,6 +499,23 @@ class SlamPipeline:
             n_correspondences=float(n_corr), ok=bool(ok))
         self.results.append(res)
         return res
+
+    # ------------------------------------------------------------------
+    def metrics(self) -> dict:
+        """Run-level observability snapshot (frames, map occupancy, stage
+        timings) — the LOG_STEP_TIME/topic-stats analog, JSON-friendly."""
+        occ_c = int(self.corner_map.total_points())
+        occ_s = int(self.surf_map.total_points())
+        slots_c = int((np.asarray(self.corner_map.count) > 0).sum())
+        return {
+            "frames": self.frame_idx,
+            "imu_samples": len(self.imu_buffer),
+            "imu_initialized": self.is_initialized,
+            "map_points": {"corner": occ_c, "surf": occ_s},
+            "map_slots_used": slots_c,
+            "map_table_size": self.corner_map.table_size,
+            "stages": self.timers.summary(),
+        }
 
     # ------------------------------------------------------------------
     def trajectory(self) -> np.ndarray:

@@ -78,3 +78,34 @@ def test_ate_alignment():
     est = gt @ R.T + np.array([1.0, 2.0, 3.0])
     assert ate_rmse(est, gt, align=True) < 1e-6
     assert ate_rmse(est, gt, align=False) > 1.0
+
+
+def test_degenerate_hallway_does_not_blow_up():
+    """A two-wall corridor leaves one direction unobservable; the damped GN
+    + watchdog must keep poses finite (reference would just CHECK-abort)."""
+    world = synthetic.World(
+        planes=[
+            synthetic.Plane(np.array([0.0, 5.0, 0.0]), np.array([0.0, -1.0, 0.0]), 200.0),
+            synthetic.Plane(np.array([0.0, -5.0, 0.0]), np.array([0.0, 1.0, 0.0]), 200.0),
+        ],
+        poles=[])
+    pipe = SlamPipeline(_config())
+    for i in range(4):
+        t = np.array([0.3 * i, 0.0, 0.0])
+        xyz, ring = synthetic.simulate_scan(world, t, np.eye(3), n_rings=16,
+                                            pts_per_ring=1800, noise=0.004,
+                                            seed=i)
+        img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+        feats = features.extract_features(img, jnp.float32(0.1 * i), FCFG)
+        res = pipe.process_scan(feats)
+        assert np.isfinite(np.asarray(res.map_pose.t)).all()
+        assert np.isfinite(np.asarray(res.map_pose.q)).all()
+
+
+def test_pipeline_metrics():
+    pipe = SlamPipeline(_config())
+    pipe.process_scan(_scan_features(*_trajectory(1)[0], 0.0))
+    m = pipe.metrics()
+    assert m["frames"] == 1
+    assert m["map_points"]["surf"] > 0
+    assert "stages" in m
