@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--kitti_root", help="KITTI odometry root (sequences/, poses/)")
     ap.add_argument("--sequence", default="00")
     ap.add_argument("--bag", help="npz bag file (scan+imu+odom streams)")
+    ap.add_argument("--online", action="store_true",
+                    help="replay the bag on the wall clock and DROP scans "
+                         "when processing falls behind (the reference's "
+                         "real-time mode, laser_mapping.cc:159-165)")
+    ap.add_argument("--online_speed", type=float, default=1.0)
     ap.add_argument("--config", help="config JSON (native or reference proto-JSON)")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--n_rings", type=int, default=64)
@@ -135,10 +140,23 @@ def main(argv=None) -> int:
         # (the reference's offline rosbag loop, msf_loam_node.cc:448-459)
         from msf_loam_tpu.dataio.npz_bag import Bag, ImuMsg, OdomMsg, ScanMsg
         bag = Bag(args.bag)
-        pipe = SlamPipeline(cfg)
+        pipe = _make_pipeline(cfg, args)
         counter = 0
         n_scans = 0
-        for msg in bag.replay():
+        n_dropped = 0
+        if args.online:
+            # online mode: wall-clock replay with backlog shedding
+            busy_holder = [0.0]
+            stream = bag.replay_realtime(speed=args.online_speed,
+                                         busy_until=lambda: busy_holder[0])
+            def messages():
+                for msg, dropped in stream:
+                    yield msg, dropped
+        else:
+            def messages():
+                for msg in bag.replay():
+                    yield msg, False
+        for msg, dropped in messages():
             if isinstance(msg, ImuMsg):
                 pipe.add_imu(msg.time, msg.acc, msg.gyr)
             elif isinstance(msg, OdomMsg):
@@ -150,11 +168,20 @@ def main(argv=None) -> int:
                         -cfg.posegraph.sim_gps_noise,
                         cfg.posegraph.sim_gps_noise, 3))
             elif isinstance(msg, ScanMsg):
+                if dropped:
+                    n_dropped += 1
+                    logger.warning("[MAP] drop lidar frame @%.2f for real "
+                                   "time performance", msg.time)
+                    continue
                 if args.max_frames and n_scans >= args.max_frames:
                     continue
+                t_proc0 = time.perf_counter()
                 img = preprocess.preprocess_scan(
                     msg.xyz, msg.ring, cfg.features, args.n_rings)
                 res = pipe.process_ring_image(img, msg.time)
+                if args.online:
+                    busy_holder[0] = time.perf_counter() + \
+                        0.5 * (time.perf_counter() - t_proc0)
                 n_scans += 1
                 logger.info("scan @%.2f: t=%s", msg.time,
                             np.round(np.asarray(res.map_pose.t), 2))
@@ -199,6 +226,8 @@ def main(argv=None) -> int:
         "elapsed_s": round(elapsed, 2),
         "scans_per_sec": round(n_frames / elapsed, 2),
     }
+    if args.bag and args.online:
+        summary["dropped_scans"] = n_dropped
 
     # shutdown-time pose-graph fusion (~LaserMapping dtor, laser_mapping.cc:92)
     if args.posegraph and len(gps_times) >= 2:

@@ -99,3 +99,24 @@ def test_kitti_to_bag_cli(tmp_path, capsys):
     bag = Bag(out)
     # latency re-stamp applied
     assert abs(bag.scan(0).time - 0.02) < 1e-6
+
+
+def test_run_slam_online_mode_sheds_load(tmp_path, capsys):
+    """--online replays on the wall clock and drops scans when behind
+    (the reference's real-time policy)."""
+    from msf_loam_tpu.apps.run_slam import main
+    root = str(tmp_path / "kitti")
+    kitti.make_synthetic_kitti_sequence(root, "00", n_frames=6,
+                                        pts_per_ring=1800)
+    bag_path = str(tmp_path / "seq00.npz")
+    npz_bag.bag_from_kitti(root, "00", bag_path, n_rings=16)
+    rc = main(["--bag", bag_path, "--n_rings", "16", "--online",
+               "--online_speed", "50", "--quiet",
+               "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # at 50x speed with ~1s/frame processing, most scans get dropped —
+    # but at least the first processes and the run completes cleanly
+    assert out["frames"] >= 1
+    assert out["dropped_scans"] >= 1
+    assert out["frames"] + out["dropped_scans"] <= 6
