@@ -251,7 +251,9 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     )
     corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
     # flat picks (min curvature, < threshold): exact single-pick rounds,
-    # respecting corner suppression
+    # respecting corner suppression. (Multi-pick flats measurably degrade
+    # odometry rotation accuracy — the 4 flat anchors per sector carry the
+    # plane constraints; keep them exact.)
     flat_picks, flat_sup = _pick_rounds(
         curv, eligible, sector, gap, cfg,
         n_total=cfg.flat_per_sector, maximize=False,
