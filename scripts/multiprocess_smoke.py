@@ -1,0 +1,97 @@
+"""Two-process jax.distributed smoke test (multi-host simulation).
+
+Validates parallel.runtime.initialize + a cross-process sharded computation
+on CPU devices — the closest a single machine gets to a real multi-host
+pod run. Launch: python scripts/multiprocess_smoke.py (spawns both ranks).
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKER = r'''
+import os, sys
+sys.path.insert(0, os.environ["MSF_REPO"])
+from msf_loam_tpu.parallel.runtime import initialize
+ok = initialize()
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import numpy as np
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8  # 2 procs x 4 local cpu devices
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+sharding = NamedSharding(mesh, P("data"))
+
+@jax.jit
+def global_sum(x):
+    return jnp.sum(x)
+
+# build a process-local shard and assemble the global array
+local = jnp.arange(4 * jax.process_index(), 4 * jax.process_index() + 4,
+                   dtype=jnp.float32)
+arrs = [jax.device_put(local[i:i+1], d)
+        for i, d in enumerate(jax.local_devices())]
+global_x = jax.make_array_from_single_device_arrays(
+    (8,), sharding, arrs)
+s = global_sum(global_x)
+expected = sum(range(8))
+assert float(s) == expected, (float(s), expected)
+
+# --- the real config-5 path: sharded voxel map across BOTH processes ---
+from msf_loam_tpu.parallel import mesh as mesh_mod, sharded_map
+rng = np.random.default_rng(0)
+mm = mesh_mod.make_mesh(n_map=8, n_data=1)
+m = sharded_map.create_sharded_map(mm, 1 << 10, 8, 2.0, 0.4)
+pts = jnp.asarray(rng.uniform(-5, 5, size=(512, 3)).astype(np.float32))
+m = sharded_map.sharded_insert(mm, m, pts, jnp.ones(512, bool))
+q = jnp.asarray(rng.uniform(-4, 4, size=(32, 3)).astype(np.float32))
+d2, xyz, valid = sharded_map.sharded_query_knn(mm, m, q, jnp.ones(32, bool))
+import jax as _jax
+nn_found = int(_jax.device_get(
+    _jax.jit(lambda v: jnp.sum(v))(valid)))
+assert nn_found > 0
+
+if jax.process_index() == 0:
+    print("MULTIPROCESS_OK sum=%d procs=%d devices=%d sharded_nn=%d" %
+          (int(s), jax.process_count(), len(jax.devices()), nn_found),
+          flush=True)
+'''
+
+
+def main():
+    env = dict(os.environ)
+    env["MSF_REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["MSF_COORD"] = "localhost:12355"
+    env["MSF_NUM_PROCESSES"] = "2"
+    # must be in the spawn env: sitecustomize registers the axon TPU
+    # backend at interpreter start, before worker code runs
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = []
+    for rank in range(2):
+        e = dict(env)
+        e["MSF_PROCESS_ID"] = str(rank)
+        procs.append(subprocess.Popen([sys.executable, "-c", WORKER], env=e,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    ok = True
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        text = out.decode()
+        if p.returncode != 0:
+            ok = False
+            print(text[-2000:])
+        elif "MULTIPROCESS_OK" in text:
+            print(text.strip().splitlines()[-1])
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
