@@ -111,6 +111,11 @@ class PoseGraphResult(NamedTuple):
 def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
              n_iters: int = 10) -> PoseGraphResult:
     """Batch pose-graph GN with block-tridiagonal exact solve."""
+    return _optimize_impl(poses0, data, cfg, n_iters, solve_block_tridiag)
+
+
+def _optimize_impl(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
+                   n_iters: int, solver) -> PoseGraphResult:
     N = poses0.t.shape[0]
     zero6 = jnp.zeros(6)
 
@@ -183,7 +188,7 @@ def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
         D = D + 1e-4 * jnp.eye(6)[None, :, :] \
             + 1e-6 * jnp.einsum("nii->n", D)[:, None, None] * jnp.eye(6)[None]
 
-        dx = solve_block_tridiag(D, U, -b)                    # (N, 6)
+        dx = solver(D, U, -b)                                 # (N, 6)
         new_poses = poses.retract(dx)
         return new_poses, None
 
@@ -191,6 +196,24 @@ def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
     poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
     final = total_cost(poses)
     return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
+
+
+def optimize_distributed(mesh, poses0: Pose, data: PoseGraphData,
+                         cfg: PoseGraphConfig, n_iters: int = 10
+                         ) -> PoseGraphResult:
+    """Pose-graph GN with the block-tridiagonal solve distributed over the
+    mesh 'data' axis (Schur complement over segment separators,
+    parallel/distributed_ba) — the config-5 'distributed BA' applied to the
+    real GPS-fusion graph. Assembly/retraction run replicated; only the
+    O(N) sequential solve parallelizes (it dominates at KITTI-scale N).
+
+    N must be divisible by the device count with segments >= 2; use
+    pad_graph/next_bucket to size the graph.
+    """
+    from msf_loam_tpu.parallel.distributed_ba import distributed_tridiag_solve
+
+    solver = functools.partial(distributed_tridiag_solve, mesh)
+    return _optimize_impl(poses0, data, cfg, n_iters, solver)
 
 
 def pad_graph(poses: Pose, data: PoseGraphData, to_n: int

@@ -131,3 +131,23 @@ def test_sharded_pipeline_matches_dense():
     # boundaries; totals must agree to a fraction of a percent
     a, b = int(sp.corner_map.count.sum()), int(dp.corner_map.count.sum())
     assert abs(a - b) <= max(5, 0.005 * b), (a, b)
+
+
+def test_distributed_posegraph_matches_single_device():
+    """Config-5 applied to the real GPS-fusion graph: distributed-solve GN
+    must match the single-device optimizer."""
+    from msf_loam_tpu.config import PoseGraphConfig
+    from tests.test_posegraph import _make_trajectory
+
+    cfg = PoseGraphConfig()
+    n = 64  # 8 segments x 8 poses
+    ts, gt, est = _make_trajectory(n, drift=0.02)
+    data = posegraph.build_graph_data(
+        jnp.asarray(ts, dtype=jnp.float32), est,
+        gps_times=jnp.asarray(ts[::8], dtype=jnp.float32),
+        gps_xyz=gt.t[::8], gps_valid=jnp.ones(len(ts[::8]), bool))
+    out_single = posegraph.optimize(est, data, cfg, n_iters=8)
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)
+    out_dist = posegraph.optimize_distributed(mesh, est, data, cfg, n_iters=8)
+    np.testing.assert_allclose(np.asarray(out_dist.poses.t),
+                               np.asarray(out_single.poses.t), atol=2e-3)
