@@ -16,6 +16,7 @@ The IMU-coupled paths (deskew, estimator, gravity init) are wired in via
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -35,7 +36,6 @@ from msf_loam_tpu.ops.voxel import voxel_downsample_masked
 from msf_loam_tpu.slam import mapping, odometry, voxel_map
 
 Array = jax.Array
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
