@@ -160,3 +160,20 @@ def test_calib_cli_with_synthetic_imu(tmp_path, capsys):
     assert out["converged"]
     got = np.asarray(out["q_ric_wxyz"])
     assert abs(got @ q_ric) > 0.999, (got, q_ric)
+
+
+def test_kitti_scale_64_ring_pipeline(tmp_path, capsys):
+    """HDL-64/KITTI-scale shapes through the full CLI (64 rings)."""
+    import json as _json
+
+    from msf_loam_tpu.apps.run_slam import main
+    root = str(tmp_path / "kitti64")
+    kitti.make_synthetic_kitti_sequence(
+        root, "00", n_frames=3, n_rings=64, pts_per_ring=900,
+        world=synthetic.World.corridor(seed=2, size=15.0))
+    rc = main(["--kitti_root", root, "--sequence", "00", "--n_rings", "64",
+               "--eval", "--quiet", "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["frames"] == 3
+    assert out["ate_rmse_m"] < 0.1, out
