@@ -109,3 +109,17 @@ def test_pipeline_metrics():
     assert m["frames"] == 1
     assert m["map_points"]["surf"] > 0
     assert "stages" in m
+
+
+def test_pipeline_deterministic():
+    """Two identical runs must produce bit-identical trajectories (jit
+    determinism — a serving requirement the reference cannot offer with
+    Ceres threading)."""
+    def run():
+        pipe = SlamPipeline(_config())
+        for i, (t, R) in enumerate(_trajectory(4)):
+            pipe.process_scan(_scan_features(t, R, 0.1 * i))
+        return pipe.trajectory()
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
