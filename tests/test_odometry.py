@@ -81,3 +81,20 @@ def test_too_few_features_flags_not_ok():
     empty = jax.tree.map(lambda x: jnp.zeros_like(x), f0)
     out = odometry.match_scan2scan(f0, empty, Pose.identity(), OCFG)
     assert not bool(out.ok)
+
+
+def test_recover_full_6dof_motion():
+    """Pitch+roll+z motion (not just planar yaw) must be recovered."""
+    from msf_loam_tpu.core.se3 import quat_exp, quat_to_matrix
+    f0 = _scan_at(np.zeros(3), np.eye(3))
+    rotvec = np.array([0.02, -0.03, 0.04])
+    R = np.asarray(quat_to_matrix(quat_exp(jnp.asarray(rotvec, dtype=jnp.float32))))
+    delta_t = np.array([0.2, -0.1, 0.08])
+    f1 = _scan_at(delta_t, R)
+    out = odometry.match_scan2scan(f0, f1, Pose.identity(), OCFG)
+    assert bool(out.ok)
+    np.testing.assert_allclose(np.asarray(out.pose_curr2last.t), delta_t,
+                               atol=0.05)
+    from msf_loam_tpu.core.se3 import quat_log
+    got_rotvec = np.asarray(quat_log(out.pose_curr2last.q))
+    np.testing.assert_allclose(got_rotvec, rotvec, atol=0.01)
