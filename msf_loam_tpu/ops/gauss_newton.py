@@ -34,6 +34,24 @@ def huber_weights(blocks: ResidualBlocks, delta: float) -> Array:
     return jnp.where(blocks.valid, w, 0.0)
 
 
+def threshold_inlier_weights(blocks: ResidualBlocks,
+                             threshold: float = None) -> Array:
+    """Reject residual blocks above an absolute norm threshold.
+
+    Parity note: the reference's RefineByRejectOutliersWithThreshold is
+    called after every matcher solve but its body is COMMENTED OUT — a
+    no-op (scan_matcher.cc:13-38, odometry_scan_matcher.cc:276,
+    mapping_scan_matcher.cc:256). We mirror that: with threshold=None
+    (the default, matching the reference behavior) every valid block keeps
+    weight 1; pass a float to enable the documented intent.
+    """
+    w = blocks.valid.astype(jnp.float32)
+    if threshold is None:
+        return w
+    nrm = jnp.sqrt(jnp.sum(blocks.r * blocks.r, axis=-1))
+    return jnp.where(nrm <= threshold, w, 0.0)
+
+
 def quantile_inlier_weights(blocks: ResidualBlocks, keep_frac: float) -> Array:
     """Zero out the worst (1-keep_frac) residual blocks by norm.
 

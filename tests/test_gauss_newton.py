@@ -169,3 +169,15 @@ def test_quantile_weights():
     blocks = icp.ResidualBlocks(r=r, J=jnp.zeros((100, 1, 6)), valid=jnp.ones(100, bool))
     w = np.asarray(gn.quantile_inlier_weights(blocks, 0.85))
     assert w[:90].all() and not w[90:].any()
+
+
+def test_threshold_weights_noop_by_default():
+    """Parity with the reference's commented-out threshold rejection: the
+    default is a no-op; an explicit threshold enables it."""
+    r = jnp.asarray(np.array([[0.05], [2.0]], np.float32))
+    blocks = icp.ResidualBlocks(r=r, J=jnp.zeros((2, 1, 6)),
+                                valid=jnp.ones(2, bool))
+    w = np.asarray(gn.threshold_inlier_weights(blocks))
+    np.testing.assert_array_equal(w, [1.0, 1.0])
+    w = np.asarray(gn.threshold_inlier_weights(blocks, threshold=1.0))
+    np.testing.assert_array_equal(w, [1.0, 0.0])
