@@ -109,13 +109,17 @@ def _fused_query(vmap_state: VoxelHashMap, H: int, query: Array,
 
 def _fused_insert(vmap_state: VoxelHashMap, H: int, xyz: Array,
                   mask: Array) -> VoxelHashMap:
-    """Insert (B, N, 3) world points into the fused table (flat scatter)."""
+    """Insert (B, N, 3) world points into the fused table (flat scatter).
+
+    Leaf keys are salted per sequence so one sequence's point can never
+    suppress another's insert in the same world voxel."""
     B, N, _ = xyz.shape
     flat = xyz.reshape(B * N, 3)
     cells = jnp.floor(flat / vmap_state.cell_size).astype(jnp.int32)
     slots = _hash_cells(cells, H)
-    offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, N)
-    return insert_at_slots(vmap_state, flat, mask.reshape(-1), slots + offset)
+    seq_id = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+    return insert_at_slots(vmap_state, flat, mask.reshape(-1),
+                           slots + seq_id * H, leaf_salt=seq_id)
 
 
 def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,

@@ -102,14 +102,22 @@ def insert(vmap: VoxelHashMap, xyz: Array, mask: Array,
 
 
 def insert_at_slots(vmap: VoxelHashMap, xyz: Array, mask: Array,
-                    slot: Array, centroid_updates: bool = False) -> VoxelHashMap:
+                    slot: Array, centroid_updates: bool = False,
+                    leaf_salt: Array = None) -> VoxelHashMap:
     """Insert with caller-provided slot ids (the sharded map passes
-    shard-local slots; `insert` passes the global hash)."""
+    shard-local slots; `insert` passes the global hash).
+
+    ``leaf_salt`` (per-point int32) separates leaf-voxel namespaces when
+    logically-distinct maps share one table (the fused batch pipeline salts
+    by sequence id — without it a point from one sequence would suppress
+    another sequence's insert in the same world voxel)."""
     H, P = vmap.table_size, vmap.slab_capacity
     n = xyz.shape[0]
 
-    rep = _dedup_batch(xyz, mask, vmap.leaf)  # one representative per voxel
+    rep = _dedup_batch(xyz, mask, vmap.leaf, salt=leaf_salt)
     lkey = _leaf_key_dyn(xyz, vmap.leaf)
+    if leaf_salt is not None:
+        lkey = lkey ^ (leaf_salt * jnp.int32(40503))
     slot = jnp.clip(slot, 0, H - 1)
     slot = jnp.where(mask, slot, H - 1)
 
@@ -180,10 +188,13 @@ def evict_far(vmap: VoxelHashMap, center: Array, radius: float = 100.0
     return vmap._replace(count=new_count, leaf_key=new_keys)
 
 
-def _dedup_batch(xyz: Array, mask: Array, leaf: Array) -> Array:
-    """One representative per leaf voxel within the incoming batch."""
+def _dedup_batch(xyz: Array, mask: Array, leaf: Array,
+                 salt: Array = None) -> Array:
+    """One representative per (salted) leaf voxel within the incoming batch."""
     n = xyz.shape[0]
     key = _leaf_key_dyn(xyz, leaf)
+    if salt is not None:
+        key = key ^ (salt * jnp.int32(40503))
     key = jnp.where(mask, key, jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
     order = jnp.argsort(key, stable=True)
     ks = key[order]
