@@ -59,6 +59,33 @@ def test_batch_tracks_two_trajectories():
     assert int(state.frame_idx) == T
 
 
+def test_fused_insert_no_cross_sequence_suppression():
+    """Two sequences inserting into the SAME world voxel must both land:
+    leaf-dedup runs in a per-sequence (salted) namespace, so sequence 0's
+    point may never suppress sequence 1's insert (regression test)."""
+    from msf_loam_tpu.slam import voxel_map
+
+    B, H, P = 2, 1 << 8, 8
+    fused = voxel_map.create_map(B * H, P, cell_size=2.0, leaf=0.2)
+    # identical coordinates for both sequences -> same leaf voxel key
+    pt = jnp.asarray([[0.55, 0.55, 0.55]], jnp.float32)
+    xyz = jnp.broadcast_to(pt, (B, 1, 3))
+    mask = jnp.ones((B, 1), bool)
+    fused = batch_pipeline._fused_insert(fused, H, xyz, mask)
+
+    query = jnp.broadcast_to(pt, (B, 1, 3))
+    d2, nn_xyz, valid = batch_pipeline._fused_query(
+        fused, H, query, jnp.ones((B, 1), bool), k=1)
+    for b in range(B):
+        assert bool(valid[b, 0, 0]), f"seq {b}: insert was suppressed"
+        np.testing.assert_allclose(np.asarray(nn_xyz[b, 0, 0]),
+                                   np.asarray(pt[0]), atol=1e-6)
+
+    # and the point landed only in the owner's slot range
+    counts = np.asarray(fused.count)
+    assert counts[:H].sum() == 1 and counts[H:].sum() == 1
+
+
 def test_batch_matches_single_pipeline_roughly():
     """Batched path should land near the sequential SlamPipeline result."""
     from msf_loam_tpu.ops import features as feat_mod
