@@ -44,12 +44,19 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--n_rings", type=int, default=64)
     ap.add_argument("--sim_gps", action="store_true",
                     help="simulate 1 Hz GPS from GT + noise (_SIM_GPS)")
+    ap.add_argument("--loop_closure", action="store_true",
+                    help="detect revisits, scan-match loop edges, and fold "
+                         "them into the final pose-graph solve")
     ap.add_argument("--posegraph", action="store_true",
                     help="run the GPS/odometry pose-graph fusion at shutdown")
     ap.add_argument("--output_dir", default=".")
     ap.add_argument("--selftest", action="store_true",
                     help="run on a synthetic corridor world (no dataset)")
     ap.add_argument("--selftest_frames", type=int, default=12)
+    ap.add_argument("--selftest_path", choices=("line", "loop"),
+                    default="line",
+                    help="selftest trajectory shape: 'loop' drives "
+                         "out-and-back so --loop_closure has a revisit")
     ap.add_argument("--eval", action="store_true", help="print ATE vs GT")
     ap.add_argument("--save_map", action="store_true")
     ap.add_argument("--pbstream", action="store_true",
@@ -77,6 +84,47 @@ def _make_pipeline(cfg, args):
     return SlamPipeline(cfg)
 
 
+def _close_loops(cfg, poses, data, traj, keyframes, logger):
+    """Detect revisits among the keyframe snapshots, scan-match each
+    candidate pair into a loop edge, and solve the pose graph with the
+    edges folded in (loop_closure module docstring has the design)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.slam import posegraph
+    from msf_loam_tpu.slam.loop_closure import (LoopEdge, SparsePoseGraph,
+                                                detect_loops, match_loop_pair)
+
+    pg = cfg.posegraph
+    kf_idx = sorted(keyframes)
+    stride = max(1, pg.loop_keyframe_stride)
+    pairs = detect_loops(
+        traj[kf_idx, 1:4], max_dist=pg.loop_max_dist,
+        min_index_gap=max(1, pg.loop_min_index_gap // stride),
+        max_loops=pg.loop_max_count)
+
+    graph = SparsePoseGraph(pad_loops=pg.loop_max_count)
+    for a, b in pairs:
+        fi, fj = kf_idx[a], kf_idx[b]
+        pose_i = Pose(t=jnp.asarray(traj[fi, 1:4], jnp.float32),
+                      q=jnp.asarray(traj[fi, 4:8], jnp.float32))
+        pose_j = Pose(t=jnp.asarray(traj[fj, 1:4], jnp.float32),
+                      q=jnp.asarray(traj[fj, 4:8], jnp.float32))
+        rel, ok = match_loop_pair(
+            jax.device_put(keyframes[fi]), jax.device_put(keyframes[fj]),
+            pose_i, pose_j, cfg)
+        if bool(ok):
+            graph.add_edge(LoopEdge(fi, fj, np.asarray(rel.t),
+                                    np.asarray(rel.q)))
+            logger.info("loop edge %d <-> %d", fi, fj)
+        else:
+            logger.info("loop candidate %d <-> %d rejected by matcher",
+                        fi, fj)
+    out = graph.optimize(poses, data, pg, n_iters=pg.iterations)
+    return out, len(graph.edges)
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     logging.basicConfig(
@@ -102,6 +150,18 @@ def main(argv=None) -> int:
     gps_times, gps_xyz = [], []
     rng = np.random.default_rng(0)
 
+    keyframes = {}  # frame index -> host-side ScanFeatures snapshot
+
+    def maybe_keyframe(pipe):
+        """Snapshot the just-processed frame's features (host memory) every
+        loop_keyframe_stride frames when loop closure is requested."""
+        if not args.loop_closure or pipe.prev_scan is None:
+            return
+        idx = len(pipe.results) - 1
+        if idx % cfg.posegraph.loop_keyframe_stride == 0:
+            import jax
+            keyframes[idx] = jax.device_get(pipe.prev_scan)
+
     profiler_ctx = None
     if args.profile_dir:
         # device-level tracing (TicToc/LOG_STEP_TIME analog at kernel depth;
@@ -119,8 +179,14 @@ def main(argv=None) -> int:
         world = synthetic.World.corridor(seed=0, size=12.0)
         n = args.selftest_frames
         for i in range(n):
-            t = np.array([0.25 * i, 0.1 * np.sin(0.2 * i), 0.0])
-            yaw = 0.02 * i
+            if args.selftest_path == "loop":
+                # out-and-back (no turn): the tail revisits the head
+                fwd = i if i < n // 2 else (n - 1 - i)
+                t = np.array([0.25 * fwd, 0.0, 0.0])
+                yaw = 0.0
+            else:
+                t = np.array([0.25 * i, 0.1 * np.sin(0.2 * i), 0.0])
+                yaw = 0.02 * i
             c, s = np.cos(yaw), np.sin(yaw)
             R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
             xyz, ring = synthetic.simulate_scan(world, t, R, n_rings=n_rings,
@@ -128,6 +194,7 @@ def main(argv=None) -> int:
                                                 noise=0.004, seed=i)
             img = preprocess.preprocess_scan(xyz, ring, cfg.features, n_rings)
             res = pipe.process_ring_image(img, 0.1 * i)
+            maybe_keyframe(pipe)
             gt_t.append(t)
             if args.sim_gps and i % cfg.posegraph.sim_gps_period == 0:
                 gps_times.append(0.1 * i)
@@ -179,6 +246,7 @@ def main(argv=None) -> int:
                 img = preprocess.preprocess_scan(
                     msg.xyz, msg.ring, cfg.features, args.n_rings)
                 res = pipe.process_ring_image(img, msg.time)
+                maybe_keyframe(pipe)
                 if args.online:
                     busy_holder[0] = time.perf_counter() + \
                         0.5 * (time.perf_counter() - t_proc0)
@@ -202,6 +270,7 @@ def main(argv=None) -> int:
                 cfg.features.max_points_per_ring, cfg.features.min_range,
                 cfg.features.scan_period, end=end):
             res = pipe.process_ring_image(img, t_scan)
+            maybe_keyframe(pipe)
             if seq.gt_poses is not None:
                 gt_pose = seq.gt_poses[index]
                 gt_t.append(gt_pose[:3, 3])
@@ -230,22 +299,35 @@ def main(argv=None) -> int:
         summary["dropped_scans"] = n_dropped
 
     # shutdown-time pose-graph fusion (~LaserMapping dtor, laser_mapping.cc:92)
-    if args.posegraph and len(gps_times) >= 2:
+    run_pg = args.posegraph and len(gps_times) >= 2
+    run_lc = args.loop_closure and len(keyframes) >= 2
+    if run_pg or run_lc:
         from msf_loam_tpu.core.se3 import Pose
         from msf_loam_tpu.slam import posegraph
         poses = Pose(t=jnp.asarray(traj[:, 1:4], dtype=jnp.float32),
                      q=jnp.asarray(traj[:, 4:8], dtype=jnp.float32))
+        if run_pg:
+            g_times = jnp.asarray(np.asarray(gps_times), dtype=jnp.float32)
+            g_xyz = jnp.asarray(np.asarray(gps_xyz), dtype=jnp.float32)
+            g_valid = jnp.ones(len(gps_times), bool)
+        else:  # placeholder row; invalid, so inert
+            g_times = jnp.zeros(1, jnp.float32)
+            g_xyz = jnp.zeros((1, 3), jnp.float32)
+            g_valid = jnp.zeros(1, bool)
         data = posegraph.build_graph_data(
             jnp.asarray(traj[:, 0], dtype=jnp.float32), poses,
-            jnp.asarray(np.asarray(gps_times), dtype=jnp.float32),
-            jnp.asarray(np.asarray(gps_xyz), dtype=jnp.float32),
-            jnp.ones(len(gps_times), bool))
+            g_times, g_xyz, g_valid)
         # pad to a size class so repeated runs reuse the compiled program
         n_real = len(traj)
         poses, data = posegraph.pad_graph(
             poses, data, posegraph.next_bucket(n_real))
-        out = posegraph.optimize(poses, data, cfg.posegraph,
-                                 n_iters=cfg.posegraph.iterations)
+        if run_lc:
+            out, n_edges = _close_loops(cfg, poses, data, traj, keyframes,
+                                        logger)
+            summary["loop_edges"] = n_edges
+        else:
+            out = posegraph.optimize(poses, data, cfg.posegraph,
+                                     n_iters=cfg.posegraph.iterations)
         traj[:, 1:4] = np.asarray(out.poses.t[:n_real])
         traj[:, 4:8] = np.asarray(out.poses.q[:n_real])
         summary["posegraph_cost"] = [float(out.initial_cost),

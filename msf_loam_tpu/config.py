@@ -105,6 +105,11 @@ class PoseGraphConfig:
     iterations: int = 10               # max_num_iterations (gps_fusion.cc:45)
     sim_gps_period: int = 10           # every 10th gt odom -> 1 Hz (laser_mapping.cc:456)
     sim_gps_noise: float = 0.05        # U(-5,5) cm (laser_mapping.cc:458)
+    # loop closure (beyond the reference's sparse_pose_graph stub)
+    loop_max_dist: float = 3.0         # proximity radius for candidates (m)
+    loop_min_index_gap: int = 20       # frames between revisit candidates
+    loop_max_count: int = 8            # static padding for LoopFactors
+    loop_keyframe_stride: int = 5      # keep features every K frames
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,38 @@ from msf_loam_tpu.core.se3 import (Pose, quat_conjugate, quat_multiply,
 Array = jax.Array
 
 
+class LoopFactors(NamedTuple):
+    """Static-shape loop-closure constraints (padded; invalid rows inert).
+
+    The reference's ``PoseGraphEdgeFactor`` (pose_graph_factor.h:10-19) is a
+    RelativePoseFactor between non-consecutive keyframes; its
+    ``SparsePoseGraph`` never folds them in (empty stub). Here they ARE
+    solved: each loop adds a rank-6 off-tridiagonal coupling handled exactly
+    by a Woodbury correction to the block-Thomas solve (optimize_with_loops).
+    """
+
+    idx_i: Array    # (L,) int32 keyframe index i
+    idx_j: Array    # (L,) int32 keyframe index j (> i)
+    meas: Pose      # (L,) measured relative pose i->j
+    valid: Array    # (L,) bool
+
+    @staticmethod
+    def pad(idx_i, idx_j, meas: Pose, to_l: int) -> "LoopFactors":
+        l = int(idx_i.shape[0])
+        assert to_l >= l
+        p = to_l - l
+        return LoopFactors(
+            idx_i=jnp.concatenate([jnp.asarray(idx_i, jnp.int32),
+                                   jnp.zeros(p, jnp.int32)]),
+            idx_j=jnp.concatenate([jnp.asarray(idx_j, jnp.int32),
+                                   jnp.ones(p, jnp.int32)]),
+            meas=Pose(t=jnp.concatenate([meas.t, jnp.zeros((p, 3))]),
+                      q=jnp.concatenate([meas.q, jnp.tile(
+                          jnp.asarray([1.0, 0, 0, 0]), (p, 1))])),
+            valid=jnp.concatenate([jnp.ones(l, bool), jnp.zeros(p, bool)]),
+        )
+
+
 class PoseGraphData(NamedTuple):
     """Static-shape problem data."""
 
@@ -114,83 +146,182 @@ def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
     return _optimize_impl(poses0, data, cfg, n_iters, solve_block_tridiag)
 
 
-def _optimize_impl(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
-                   n_iters: int, solver) -> PoseGraphResult:
-    N = poses0.t.shape[0]
-    zero6 = jnp.zeros(6)
-
+def _make_factor_fns(cfg: PoseGraphConfig):
     rel_fn = lambda di, dj, pi, pj, meas: _rel_residual(
         di, dj, pi, pj, meas, cfg.rel_sigma_r, cfg.rel_sigma_t)
     gps_fn = lambda di, dj, pi, pj, g, f: _gps_residual(
         di, dj, pi, pj, g, f, cfg.gps_sigma_t)
+    return (jax.vmap(rel_fn, in_axes=(0, 0, 0, 0, 0)),
+            jax.vmap(jax.jacrev(rel_fn, argnums=(0, 1)),
+                     in_axes=(0, 0, 0, 0, 0)),
+            jax.vmap(gps_fn, in_axes=(0, 0, 0, 0, 0, 0)),
+            jax.vmap(jax.jacrev(gps_fn, argnums=(0, 1)),
+                     in_axes=(0, 0, 0, 0, 0, 0)))
 
-    rel_jac = jax.vmap(jax.jacrev(rel_fn, argnums=(0, 1)),
-                       in_axes=(0, 0, 0, 0, 0))
-    gps_jac = jax.vmap(jax.jacrev(gps_fn, argnums=(0, 1)),
-                       in_axes=(0, 0, 0, 0, 0, 0))
-    rel_val = jax.vmap(rel_fn, in_axes=(0, 0, 0, 0, 0))
-    gps_val = jax.vmap(gps_fn, in_axes=(0, 0, 0, 0, 0, 0))
+
+def _optimize_impl(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
+                   n_iters: int, solver) -> PoseGraphResult:
+    N = poses0.t.shape[0]
+
+    rel_val, rel_jac, gps_val, gps_jac = _make_factor_fns(cfg)
 
     def total_cost(poses):
-        pi = jax.tree.map(lambda a: a[:-1], poses)
-        pj = jax.tree.map(lambda a: a[1:], poses)
-        z = jnp.zeros((N - 1, 6))
-        r_rel = rel_val(z, z, pi, pj, data.rel_meas)
-        w_rel = _huber_w(r_rel, cfg.huber_delta) * data.rel_valid
-        gi = jax.tree.map(lambda a: a[data.gps_seg], poses)
-        gj = jax.tree.map(lambda a: a[data.gps_seg + 1], poses)
-        zg = jnp.zeros((data.gps_xyz.shape[0], 6))
-        r_gps = gps_val(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)
-        w_gps = _huber_w(r_gps, cfg.huber_delta) * data.gps_valid
-        return (jnp.sum(w_rel * jnp.sum(r_rel ** 2, -1))
-                + jnp.sum(w_gps * jnp.sum(r_gps ** 2, -1)))
+        return _chain_cost(poses, data, cfg, N, rel_val, gps_val)
 
     def gn_step(poses, _):
-        pi = jax.tree.map(lambda a: a[:-1], poses)
-        pj = jax.tree.map(lambda a: a[1:], poses)
-        z = jnp.zeros((N - 1, 6))
-        r_rel = rel_val(z, z, pi, pj, data.rel_meas)          # (N-1, 6)
-        (Ji, Jj) = rel_jac(z, z, pi, pj, data.rel_meas)       # (N-1, 6, 6) x2
-        w_rel = (_huber_w(r_rel, cfg.huber_delta) * data.rel_valid)
-
-        gi = jax.tree.map(lambda a: a[data.gps_seg], poses)
-        gj = jax.tree.map(lambda a: a[data.gps_seg + 1], poses)
-        M = data.gps_xyz.shape[0]
-        zg = jnp.zeros((M, 6))
-        r_gps = gps_val(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)  # (M, 3)
-        (Gi, Gj) = gps_jac(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)
-        w_gps = (_huber_w(r_gps, cfg.huber_delta) * data.gps_valid)
-
-        # assemble block-tridiagonal H and rhs
-        D = jnp.zeros((N, 6, 6))
-        U = jnp.zeros((N - 1, 6, 6))   # U[i] couples pose i and i+1
-        b = jnp.zeros((N, 6))
-
-        wJi = Ji * w_rel[:, None, None]
-        wJj = Jj * w_rel[:, None, None]
-        idx = jnp.arange(N - 1)
-        D = D.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Ji))
-        D = D.at[idx + 1].add(jnp.einsum("nri,nrj->nij", wJj, Jj))
-        U = U.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Jj))
-        b = b.at[idx].add(jnp.einsum("nri,nr->ni", wJi, r_rel))
-        b = b.at[idx + 1].add(jnp.einsum("nri,nr->ni", wJj, r_rel))
-
-        wGi = Gi * w_gps[:, None, None]
-        wGj = Gj * w_gps[:, None, None]
-        s = data.gps_seg
-        D = D.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gi))
-        D = D.at[s + 1].add(jnp.einsum("mri,mrj->mij", wGj, Gj))
-        U = U.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gj))
-        b = b.at[s].add(jnp.einsum("mri,mr->mi", wGi, r_gps))
-        b = b.at[s + 1].add(jnp.einsum("mri,mr->mi", wGj, r_gps))
-
-        # LM damping (also fixes the global gauge the GPS ties leave free)
-        D = D + 1e-4 * jnp.eye(6)[None, :, :] \
-            + 1e-6 * jnp.einsum("nii->n", D)[:, None, None] * jnp.eye(6)[None]
-
+        D, U, b = _assemble_chain(poses, data, cfg, N,
+                                  rel_val, rel_jac, gps_val, gps_jac)
         dx = solver(D, U, -b)                                 # (N, 6)
         new_poses = poses.retract(dx)
         return new_poses, None
+
+    initial = total_cost(poses0)
+    poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
+    final = total_cost(poses)
+    return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
+
+
+def _chain_cost(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
+                N: int, rel_val, gps_val) -> Array:
+    pi = jax.tree.map(lambda a: a[:-1], poses)
+    pj = jax.tree.map(lambda a: a[1:], poses)
+    z = jnp.zeros((N - 1, 6))
+    r_rel = rel_val(z, z, pi, pj, data.rel_meas)
+    w_rel = _huber_w(r_rel, cfg.huber_delta) * data.rel_valid
+    gi = jax.tree.map(lambda a: a[data.gps_seg], poses)
+    gj = jax.tree.map(lambda a: a[data.gps_seg + 1], poses)
+    zg = jnp.zeros((data.gps_xyz.shape[0], 6))
+    r_gps = gps_val(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)
+    w_gps = _huber_w(r_gps, cfg.huber_delta) * data.gps_valid
+    return (jnp.sum(w_rel * jnp.sum(r_rel ** 2, -1))
+            + jnp.sum(w_gps * jnp.sum(r_gps ** 2, -1)))
+
+
+def _assemble_chain(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
+                    N: int, rel_val, rel_jac, gps_val, gps_jac):
+    """Weighted GN normal equations of the chain factors as block-tridiag
+    (D (N,6,6), U (N-1,6,6), rhs b (N,6)), LM-damped."""
+    pi = jax.tree.map(lambda a: a[:-1], poses)
+    pj = jax.tree.map(lambda a: a[1:], poses)
+    z = jnp.zeros((N - 1, 6))
+    r_rel = rel_val(z, z, pi, pj, data.rel_meas)          # (N-1, 6)
+    (Ji, Jj) = rel_jac(z, z, pi, pj, data.rel_meas)       # (N-1, 6, 6) x2
+    w_rel = (_huber_w(r_rel, cfg.huber_delta) * data.rel_valid)
+
+    gi = jax.tree.map(lambda a: a[data.gps_seg], poses)
+    gj = jax.tree.map(lambda a: a[data.gps_seg + 1], poses)
+    M = data.gps_xyz.shape[0]
+    zg = jnp.zeros((M, 6))
+    r_gps = gps_val(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)  # (M, 3)
+    (Gi, Gj) = gps_jac(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)
+    w_gps = (_huber_w(r_gps, cfg.huber_delta) * data.gps_valid)
+
+    # assemble block-tridiagonal H and rhs
+    D = jnp.zeros((N, 6, 6))
+    U = jnp.zeros((N - 1, 6, 6))   # U[i] couples pose i and i+1
+    b = jnp.zeros((N, 6))
+
+    wJi = Ji * w_rel[:, None, None]
+    wJj = Jj * w_rel[:, None, None]
+    idx = jnp.arange(N - 1)
+    D = D.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Ji))
+    D = D.at[idx + 1].add(jnp.einsum("nri,nrj->nij", wJj, Jj))
+    U = U.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Jj))
+    b = b.at[idx].add(jnp.einsum("nri,nr->ni", wJi, r_rel))
+    b = b.at[idx + 1].add(jnp.einsum("nri,nr->ni", wJj, r_rel))
+
+    wGi = Gi * w_gps[:, None, None]
+    wGj = Gj * w_gps[:, None, None]
+    s = data.gps_seg
+    D = D.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gi))
+    D = D.at[s + 1].add(jnp.einsum("mri,mrj->mij", wGj, Gj))
+    U = U.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gj))
+    b = b.at[s].add(jnp.einsum("mri,mr->mi", wGi, r_gps))
+    b = b.at[s + 1].add(jnp.einsum("mri,mr->mi", wGj, r_gps))
+
+    # LM damping (also fixes the global gauge the GPS ties leave free)
+    D = D + 1e-4 * jnp.eye(6)[None, :, :] \
+        + 1e-6 * jnp.einsum("nii->n", D)[:, None, None] * jnp.eye(6)[None]
+    return D, U, b
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
+def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
+                        cfg: PoseGraphConfig, n_iters: int = 10
+                        ) -> PoseGraphResult:
+    """Pose-graph GN with chain + GPS + loop-closure factors, solved EXACTLY.
+
+    A loop factor between keyframes (i, j) is the reference's
+    PoseGraphEdgeFactor (pose_graph_factor.h:10-19) — a RelativePoseFactor
+    at non-consecutive indices. It breaks the tridiagonal structure with one
+    rank-6 coupling, so the Hessian is H = T + W Wᵀ where T is the chain
+    tridiagonal and W stacks the weighted loop Jacobians (6N x 6L, nonzero
+    only at block-rows i and j). Woodbury gives the exact solve from the
+    machinery we already have:
+
+        y = T⁻¹ b          (block-Thomas scan)
+        Z = T⁻¹ W          (same factorization, 6L right-hand sides)
+        S = I + Wᵀ Z       (6L x 6L capacitance, dense)
+        x = y − Z S⁻¹ Wᵀ y
+
+    — O(N·L) sequential work instead of a general sparse Cholesky, and all
+    of it one fused XLA program. Invalid (padded) loops get zero weight, so
+    their W columns vanish and S's block is the identity: inert by
+    construction, keeping shapes static across detections.
+    """
+    N = poses0.t.shape[0]
+    L = loops.idx_i.shape[0]
+    m = 6 * L
+    rel_val, rel_jac, gps_val, gps_jac = _make_factor_fns(cfg)
+
+    loop_fn = lambda di, dj, pi, pj, meas: _rel_residual(
+        di, dj, pi, pj, meas, cfg.rel_sigma_r, cfg.rel_sigma_t)
+    loop_val = jax.vmap(loop_fn, in_axes=(0, 0, 0, 0, 0))
+    loop_jac = jax.vmap(jax.jacrev(loop_fn, argnums=(0, 1)),
+                        in_axes=(0, 0, 0, 0, 0))
+
+    def loop_terms(poses):
+        li = jax.tree.map(lambda a: a[loops.idx_i], poses)
+        lj = jax.tree.map(lambda a: a[loops.idx_j], poses)
+        zl = jnp.zeros((L, 6))
+        r = loop_val(zl, zl, li, lj, loops.meas)              # (L, 6)
+        (Li, Lj) = loop_jac(zl, zl, li, lj, loops.meas)       # (L, 6, 6) x2
+        w = _huber_w(r, cfg.huber_delta) * loops.valid
+        return r, Li, Lj, w
+
+    def gn_step(poses, _):
+        D, U, b = _assemble_chain(poses, data, cfg, N,
+                                  rel_val, rel_jac, gps_val, gps_jac)
+        r, Li, Lj, w = loop_terms(poses)
+
+        # rhs gets the loop gradient directly
+        wLi = Li * w[:, None, None]
+        wLj = Lj * w[:, None, None]
+        b = b.at[loops.idx_i].add(jnp.einsum("lri,lr->li", wLi, r))
+        b = b.at[loops.idx_j].add(jnp.einsum("lri,lr->li", wLj, r))
+
+        # W (N, 6, 6L): column block l holds sqrt(w_l)·J_l^T at rows i_l, j_l
+        sq = jnp.sqrt(w)[:, None, None]
+        Wi = jnp.swapaxes(Li * sq, 1, 2)                      # (L, 6state, 6res)
+        Wj = jnp.swapaxes(Lj * sq, 1, 2)
+        W = jnp.zeros((N, 6, L, 6))
+        lidx = jnp.arange(L)
+        W = W.at[loops.idx_i, :, lidx, :].add(Wi)
+        W = W.at[loops.idx_j, :, lidx, :].add(Wj)
+        W = W.reshape(N, 6, m)
+
+        rhs = -b
+        y = solve_block_tridiag(D, U, rhs)                    # (N, 6)
+        Z = solve_block_tridiag_multi(D, U, W)                # (N, 6, m)
+        S = jnp.eye(m) + jnp.einsum("nim,nik->mk", W, Z)
+        Wty = jnp.einsum("nim,ni->m", W, y)
+        dx = y - jnp.einsum("nim,m->ni", Z, jnp.linalg.solve(S, Wty))
+        return poses.retract(dx), None
+
+    def total_cost(poses):
+        r, _, _, w = loop_terms(poses)
+        chain = _chain_cost(poses, data, cfg, N, rel_val, gps_val)
+        return chain + jnp.sum(w * jnp.sum(r * r, -1))
 
     initial = total_cost(poses0)
     poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
@@ -289,3 +420,33 @@ def solve_block_tridiag(D: Array, U: Array, b: Array) -> Array:
     U_pad_end = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
     _, xs = jax.lax.scan(bwd, jnp.zeros(6), (Dt, bt, U_pad_end), reverse=True)
     return xs
+
+
+def solve_block_tridiag_multi(D: Array, U: Array, B: Array) -> Array:
+    """Block-Thomas with m simultaneous right-hand sides: B (N, 6, m) ->
+    X (N, 6, m) with tridiag(U^T, D, U) X[:, :, k] = B[:, :, k]. One
+    factorization sweep shared by all columns (used by the Woodbury loop
+    solve, where m = 6·n_loops)."""
+    m = B.shape[-1]
+
+    def fwd(carry, inp):
+        Dt_prev, Bt_prev = carry
+        D_i, U_prev, B_i = inp
+        L = jnp.linalg.solve(Dt_prev, U_prev).T
+        Dt_i = D_i - L @ U_prev
+        Bt_i = B_i - L @ Bt_prev
+        return (Dt_i, Bt_i), (Dt_i, Bt_i)
+
+    U_pad = jnp.concatenate([jnp.zeros((1, 6, 6)), U], axis=0)
+    (_, _), (Dt, Bt) = jax.lax.scan(
+        fwd, (jnp.eye(6), jnp.zeros((6, m))), (D, U_pad, B))
+
+    def bwd(X_next, inp):
+        Dt_i, Bt_i, U_i = inp
+        X_i = jnp.linalg.solve(Dt_i, Bt_i - U_i @ X_next)
+        return X_i, X_i
+
+    U_pad_end = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
+    _, Xs = jax.lax.scan(bwd, jnp.zeros((6, m)), (Dt, Bt, U_pad_end),
+                         reverse=True)
+    return Xs

@@ -41,6 +41,20 @@ def test_run_slam_on_kitti_fixture(kitti_fixture, tmp_path, capsys):
     assert os.path.exists(tmp_path / "trajectory.npz")
 
 
+def test_run_slam_loop_closure(tmp_path, capsys):
+    """--loop_closure end-to-end on an out-and-back selftest: a revisit is
+    detected, scan-matched into a loop edge, and solved without degrading
+    the trajectory."""
+    from msf_loam_tpu.apps.run_slam import main
+    rc = main(["--selftest", "--selftest_path", "loop",
+               "--selftest_frames", "30", "--loop_closure", "--eval",
+               "--quiet", "--output_dir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["loop_edges"] >= 1, out
+    assert out["ate_rmse_m"] < 0.08, out
+
+
 def test_evaluate_cli(kitti_fixture, tmp_path, capsys):
     from msf_loam_tpu.apps.evaluate import main as eval_main
     from msf_loam_tpu.apps.run_slam import main as slam_main

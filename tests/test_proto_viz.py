@@ -62,9 +62,8 @@ def test_export_viz(tmp_path, capsys):
     assert os.path.getsize(out) > 1000
 
 
-def test_loop_closure_stub():
+def test_loop_closure_edge_surface():
     g = SparsePoseGraph()
     g.add_edge(LoopEdge(0, 10, np.zeros(3), np.array([1.0, 0, 0, 0])))
     assert len(g.edges) == 1
-    with pytest.raises(NotImplementedError):
-        g.optimize()
+    # optimization over the collected edges is covered in test_loop_closure
