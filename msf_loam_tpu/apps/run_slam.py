@@ -99,10 +99,11 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger):
     pg = cfg.posegraph
     kf_idx = sorted(keyframes)
     stride = max(1, pg.loop_keyframe_stride)
+    gap_kf = max(1, pg.loop_min_index_gap // stride)
     pairs = detect_loops(
         traj[kf_idx, 1:4], max_dist=pg.loop_max_dist,
-        min_index_gap=max(1, pg.loop_min_index_gap // stride),
-        max_loops=pg.loop_max_count)
+        min_index_gap=gap_kf, max_loops=pg.loop_max_count,
+        suppress_gap=max(1, gap_kf // 2))
 
     graph = SparsePoseGraph(pad_loops=pg.loop_max_count)
     for a, b in pairs:

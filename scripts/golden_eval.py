@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--json", default=None)
     ap.add_argument("--imu_frames", type=int, default=40)
-    ap.add_argument("--only", choices=["odo", "map", "gps", "lio"],
+    ap.add_argument("--only", choices=["odo", "map", "gps", "lio", "loop"],
                     default=None,
                     help="run a single section (compile-budget splitting "
                          "for first runs over the remote-TPU link)")
@@ -124,6 +124,37 @@ def main():
             "ate_rmse_m": round(ate_rmse(np.asarray(out.poses.t), gt,
                                          align=False), 4)}
         print("with_gps_graph:", results["with_gps_graph"], flush=True)
+
+    # (3b) loop closure under forced drift: aggressive map eviction makes
+    # the out-and-back selftest drift; loop edges recover part of it.
+    # Runs the real CLI end-to-end (subprocess) so the whole detect ->
+    # match -> Woodbury-solve path is exercised as a user would.
+    if enabled("loop"):
+        import subprocess
+        import tempfile
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            cfg_path = os.path.join(td, "evict.json")
+            with open(cfg_path, "w") as f:
+                json.dump({"mapping": {"map_evict_radius": 4.0,
+                                       "map_evict_period": 5}}, f)
+            base = [sys.executable, "-m", "msf_loam_tpu.apps.run_slam",
+                    "--selftest", "--selftest_path", "loop",
+                    "--selftest_frames", "60", "--config", cfg_path,
+                    "--eval", "--quiet"]
+            def run(extra, outdir):
+                out = subprocess.run(
+                    base + extra + ["--output_dir", outdir],
+                    capture_output=True, text=True, timeout=900, check=True)
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            plain = run([], os.path.join(td, "a"))
+            closed = run(["--loop_closure"], os.path.join(td, "b"))
+        results["loop_closure"] = {
+            "ate_drifted_m": plain["ate_rmse_m"],
+            "ate_closed_m": closed["ate_rmse_m"],
+            "loop_edges": closed["loop_edges"],
+            "elapsed_s": round(time.perf_counter() - t0, 1)}
+        print("loop_closure:", results["loop_closure"], flush=True)
 
     # (4) LIO on motion-distorted scans
     if not enabled("lio"):
