@@ -47,6 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--loop_closure", action="store_true",
                     help="detect revisits, scan-match loop edges, and fold "
                          "them into the final pose-graph solve")
+    ap.add_argument("--loop_detector", choices=("proximity", "scan_context"),
+                    default="proximity",
+                    help="revisit detection: trajectory proximity, or "
+                         "appearance (scan-context descriptors — drift-"
+                         "proof, yaw seeded from the descriptor shift)")
     ap.add_argument("--posegraph", action="store_true",
                     help="run the GPS/odometry pose-graph fusion at shutdown")
     ap.add_argument("--output_dir", default=".")
@@ -84,14 +89,15 @@ def _make_pipeline(cfg, args):
     return SlamPipeline(cfg)
 
 
-def _close_loops(cfg, poses, data, traj, keyframes, logger):
+def _close_loops(cfg, poses, data, traj, keyframes, logger,
+                 detector="proximity"):
     """Detect revisits among the keyframe snapshots, scan-match each
     candidate pair into a loop edge, and solve the pose graph with the
     edges folded in (loop_closure module docstring has the design)."""
     import jax
     import jax.numpy as jnp
 
-    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.core.se3 import Pose, quat_exp
     from msf_loam_tpu.slam import posegraph
     from msf_loam_tpu.slam.loop_closure import (LoopEdge, SparsePoseGraph,
                                                 detect_loops, match_loop_pair)
@@ -100,10 +106,27 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger):
     kf_idx = sorted(keyframes)
     stride = max(1, pg.loop_keyframe_stride)
     gap_kf = max(1, pg.loop_min_index_gap // stride)
-    pairs = detect_loops(
-        traj[kf_idx, 1:4], max_dist=pg.loop_max_dist,
-        min_index_gap=gap_kf, max_loops=pg.loop_max_count,
-        suppress_gap=max(1, gap_kf // 2))
+    guesses = {}
+    if detector == "scan_context":
+        from msf_loam_tpu.slam import scan_context as sc
+        descs = np.stack([np.asarray(sc.compute_descriptor(
+            jnp.asarray(keyframes[k].full.xyz),
+            jnp.asarray(keyframes[k].full.mask))) for k in kf_idx])
+        triples = sc.detect_loops_scan_context(
+            descs, min_index_gap=gap_kf, max_dist=pg.loop_sc_max_dist,
+            max_loops=pg.loop_max_count, suppress_gap=max(1, gap_kf // 2))
+        pairs = [(a, b) for a, b, _ in triples]
+        for a, b, yaw in triples:
+            # appearance seed: same place, heading differs by the
+            # descriptor's column shift (valid under arbitrary drift)
+            guesses[(a, b)] = Pose(
+                t=jnp.zeros(3),
+                q=quat_exp(jnp.asarray([0.0, 0.0, yaw], jnp.float32)))
+    else:
+        pairs = detect_loops(
+            traj[kf_idx, 1:4], max_dist=pg.loop_max_dist,
+            min_index_gap=gap_kf, max_loops=pg.loop_max_count,
+            suppress_gap=max(1, gap_kf // 2))
 
     graph = SparsePoseGraph(pad_loops=pg.loop_max_count)
     for a, b in pairs:
@@ -114,7 +137,7 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger):
                       q=jnp.asarray(traj[fj, 4:8], jnp.float32))
         rel, ok = match_loop_pair(
             jax.device_put(keyframes[fi]), jax.device_put(keyframes[fj]),
-            pose_i, pose_j, cfg)
+            pose_i, pose_j, cfg, guess=guesses.get((a, b)))
         if bool(ok):
             graph.add_edge(LoopEdge(fi, fj, np.asarray(rel.t),
                                     np.asarray(rel.q)))
@@ -324,7 +347,7 @@ def main(argv=None) -> int:
             poses, data, posegraph.next_bucket(n_real))
         if run_lc:
             out, n_edges = _close_loops(cfg, poses, data, traj, keyframes,
-                                        logger)
+                                        logger, detector=args.loop_detector)
             summary["loop_edges"] = n_edges
         else:
             out = posegraph.optimize(poses, data, cfg.posegraph,

@@ -110,6 +110,7 @@ class PoseGraphConfig:
     loop_min_index_gap: int = 20       # frames between revisit candidates
     loop_max_count: int = 8            # static padding for LoopFactors
     loop_keyframe_stride: int = 5      # keep features every K frames
+    loop_sc_max_dist: float = 0.25     # scan-context cosine-distance gate
 
 
 @dataclasses.dataclass(frozen=True)

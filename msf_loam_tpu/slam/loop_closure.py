@@ -75,18 +75,21 @@ def detect_loops(positions: np.ndarray, max_dist: float = 3.0,
 
 
 def match_loop_pair(feats_i, feats_j, pose_i: Pose, pose_j: Pose,
-                    cfg: MsfLoamConfig):
+                    cfg: MsfLoamConfig, guess: Optional[Pose] = None):
     """Measure the relative pose i->j by scan-matching keyframe j's features
     against keyframe i's, seeded with the current estimate.
 
     Returns (rel_pose i->j, ok). Reuses the odometry matcher — a loop edge
     is the same edge/plane alignment problem as a scan-to-scan step, just
     between distant frames (so the seed comes from the trajectory, not
-    constant velocity)."""
+    constant velocity). ``guess`` overrides the trajectory-derived seed —
+    scan-context detection passes its appearance-based yaw here, which
+    stays valid under arbitrary drift."""
     from msf_loam_tpu.slam import odometry
 
-    # match_scan2scan estimates curr(j)-to-last(i): p_i = T · p_j
-    guess = pose_i.inverse().compose(pose_j)
+    if guess is None:
+        # match_scan2scan estimates curr(j)-to-last(i): p_i = T · p_j
+        guess = pose_i.inverse().compose(pose_j)
     result = odometry.match_scan2scan(feats_i, feats_j, guess, cfg.odometry)
     return result.pose_curr2last, result.ok
 

@@ -268,6 +268,12 @@ def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
     of it one fused XLA program. Invalid (padded) loops get zero weight, so
     their W columns vanish and S's block is the identity: inert by
     construction, keeping shapes static across detections.
+
+    Distribution note: the chain solve already distributes
+    (optimize_distributed / parallel.distributed_ba); the Woodbury
+    correction is replicated-small (6L x 6L) and needs only a multi-RHS
+    variant of the distributed Thomas — the designated extension if loop
+    counts ever warrant it.
     """
     N = poses0.t.shape[0]
     L = loops.idx_i.shape[0]
