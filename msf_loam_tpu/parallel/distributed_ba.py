@@ -41,9 +41,9 @@ def _condense_chain(D: Array, U: Array, b: Array):
     """
     L = D.shape[0]
     if L == 2:
-        empty = jnp.zeros((0, 6, 6))
+        empty = 0.0 * D[:0]
         return (D[0], U[0], D[1], b[0], b[1],
-                empty, empty, jnp.zeros((0, 6)))
+                empty, empty, 0.0 * b[:0])
 
     def step(carry, inp):
         S00, S0k, Skk, b0, bk = carry
@@ -88,53 +88,68 @@ def _backsub_chain(S0k_seq: Array, Skk_seq: Array, bk_seq: Array,
 
 
 @functools.lru_cache(maxsize=64)
-def _solve_program(mesh: Mesh):
+def _solve_program(mesh: Mesh, multi: bool = False):
     """Jitted distributed solve, cached per mesh (stable identity ->
-    jax compile-cache hits instead of a recompile per call)."""
+    jax compile-cache hits instead of a recompile per call).
+
+    ``multi=True`` solves m simultaneous right-hand sides B (N, 6, m) —
+    the same condensation/back-substitution algebra with matrix residues
+    (used by the Woodbury loop-closure correction, posegraph.py)."""
+    b_spec = P("data", None, None) if multi else P("data", None)
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("data", None, None), P("data", None, None), P("data", None)),
-        out_specs=P("data", None),
-        # the separator solve mixes all-gathered (replicated) values with
-        # device-varying ones inside lax.scan carries; skip the static VMA
-        # check (results are exact — verified against the dense solve)
-        check_vma=False,
+        in_specs=(P("data", None, None), P("data", None, None), b_spec),
+        out_specs=b_spec,
+        # VMA check ON: a check_vma=False version of this program
+        # MISCOMPILED silently when inlined into an enclosing lax.scan
+        # (constant scan inits were typed axis-invariant while the data was
+        # varying). The solvers now derive inits from their operands, so
+        # the program is VMA-clean and the checker guards regressions.
     )
     def _solve(D_seg, U_seg, b_seg):
-        # shard_map gives the local block with leading dim L
-        Dl, Ul, bl = D_seg, U_seg[:-1], b_seg        # Ul: intra-segment
-        U_bound = U_seg[-1]                           # to next segment
-        S00, S0e, See, b0, be, S0k_seq, Skk_seq, bk_seq = _condense_chain(
-            Dl, Ul, bl)
-
-        # separator system over 2 nodes/segment: (first_s, last_s) chained
-        # by condensed S0e and boundary couplings U_bound
-        sep_D = jax.lax.all_gather(jnp.stack([S00, See]), "data")   # (D,2,6,6)
-        sep_U1 = jax.lax.all_gather(S0e, "data")                    # (D,6,6)
-        sep_Ub = jax.lax.all_gather(U_bound, "data")                # (D,6,6)
-        sep_b = jax.lax.all_gather(jnp.stack([b0, be]), "data")     # (D,2,6)
-        n_seg = sep_D.shape[0]
-        Dg = sep_D.reshape(2 * n_seg, 6, 6)
-        bg = sep_b.reshape(2 * n_seg, 6)
-        # off-diagonals alternate: within-segment S0e, then boundary U
-        Ug = jnp.zeros((2 * n_seg - 1, 6, 6))
-        Ug = Ug.at[0::2].set(sep_U1)
-        Ug = Ug.at[1::2].set(sep_Ub[:-1])
-
-        from msf_loam_tpu.slam.posegraph import solve_block_tridiag
-        xg = solve_block_tridiag(Dg, Ug, bg)          # (2D, 6) replicated
-
-        s = jax.lax.axis_index("data")
-        x0 = xg[2 * s]
-        xe = xg[2 * s + 1]
-        # account for the boundary coupling to neighbors in the local rhs:
-        # interior back-substitution only needs x0, xe (chain structure)
-        x_seg = _backsub_chain(S0k_seq, Skk_seq, bk_seq, Ul, x0, xe, Dl.shape[0])
-        return x_seg
+        return _sharded_solve_body(D_seg, U_seg, b_seg, multi)
 
     return _solve
+
+
+def _sharded_solve_body(D_seg, U_seg, b_seg, multi):
+    """The per-device Schur solve (runs INSIDE shard_map on the 'data'
+    axis): condense the local segment, all-gather + solve the separator
+    system replicated, back-substitute interiors locally."""
+    # shard_map gives the local block with leading dim L
+    Dl, Ul, bl = D_seg, U_seg[:-1], b_seg        # Ul: intra-segment
+    U_bound = U_seg[-1]                           # to next segment
+    S00, S0e, See, b0, be, S0k_seq, Skk_seq, bk_seq = _condense_chain(
+        Dl, Ul, bl)
+
+    # separator system over 2 nodes/segment: (first_s, last_s) chained
+    # by condensed S0e and boundary couplings U_bound
+    sep_D = jax.lax.all_gather(jnp.stack([S00, See]), "data")   # (D,2,6,6)
+    sep_U1 = jax.lax.all_gather(S0e, "data")                    # (D,6,6)
+    sep_Ub = jax.lax.all_gather(U_bound, "data")                # (D,6,6)
+    sep_b = jax.lax.all_gather(jnp.stack([b0, be]), "data")     # (D,2,6)
+    n_seg = sep_D.shape[0]
+    Dg = sep_D.reshape(2 * n_seg, 6, 6)
+    bg = sep_b.reshape((2 * n_seg,) + sep_b.shape[2:])
+    # off-diagonals alternate: within-segment S0e, then boundary U
+    # (zeros derived from gathered data so they carry its varying type)
+    Ug = jnp.repeat(0.0 * sep_U1[:1], 2 * n_seg - 1, axis=0)
+    Ug = Ug.at[0::2].set(sep_U1)
+    Ug = Ug.at[1::2].set(sep_Ub[:-1])
+
+    from msf_loam_tpu.slam.posegraph import (solve_block_tridiag,
+                                             solve_block_tridiag_multi)
+    sep_solver = solve_block_tridiag_multi if multi else solve_block_tridiag
+    xg = sep_solver(Dg, Ug, bg)                   # (2D, 6[, m]) replicated
+
+    s = jax.lax.axis_index("data")
+    x0 = xg[2 * s]
+    xe = xg[2 * s + 1]
+    # account for the boundary coupling to neighbors in the local rhs:
+    # interior back-substitution only needs x0, xe (chain structure)
+    return _backsub_chain(S0k_seq, Skk_seq, bk_seq, Ul, x0, xe, Dl.shape[0])
 
 
 def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array:
@@ -153,3 +168,65 @@ def distributed_tridiag_solve(mesh: Mesh, D: Array, U: Array, b: Array) -> Array
     # U_pad[sL+L-1] is the boundary coupling to the next segment.
     U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
     return _solve_program(mesh)(D, U_pad, b)
+
+
+def distributed_tridiag_solve_multi(mesh: Mesh, D: Array, U: Array,
+                                    B: Array) -> Array:
+    """Multi-RHS variant: B (N, 6, m) -> X (N, 6, m), exact (the Woodbury
+    ``Z = T^-1 W`` solve of the distributed loop-closure pose graph)."""
+    N = D.shape[0]
+    n_dev = mesh.shape["data"]
+    assert N // n_dev >= 2, "segments must hold at least 2 poses"
+    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
+    return _solve_program(mesh, multi=True)(D, U_pad, B)
+
+
+@functools.lru_cache(maxsize=64)
+def _woodbury_program(mesh: Mesh):
+    """Jitted distributed Woodbury solve x = (T + W W^T)^-1 b, fully inside
+    ONE shard_map program.
+
+    The combination y − Z S⁻¹ Wᵀy must NOT be assembled from separate
+    shard_map results on the outside: with check_vma disabled, mixing
+    sharded solver outputs with replicated operands inside an enclosing
+    ``lax.scan`` miscompiles silently (observed; the VMA check exists for
+    exactly this). Inside the program the cross-segment reductions are
+    explicit ``psum``s, so the semantics are unambiguous:
+
+      [y | Z] = T⁻¹ [b | W]   (one condensation, m+1 right-hand sides)
+      S = I + Σ_seg W_segᵀ Z_seg   (psum -> replicated 6L x 6L)
+      x_seg = y_seg − Z_seg S⁻¹ (Σ_seg W_segᵀ y_seg)
+    """
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("data", None), P("data", None, None)),
+        out_specs=P("data", None),
+    )
+    def _solve(D_seg, U_seg, b_seg, W_seg):
+        B = jnp.concatenate([b_seg[..., None], W_seg], axis=-1)
+        X = _sharded_solve_body(D_seg, U_seg, B, multi=True)
+        y_seg, Z_seg = X[..., 0], X[..., 1:]
+        m = W_seg.shape[-1]
+        S = jnp.eye(m) + jax.lax.psum(
+            jnp.einsum("nim,nik->mk", W_seg, Z_seg), "data")
+        Wty = jax.lax.psum(jnp.einsum("nim,ni->m", W_seg, y_seg), "data")
+        c = jnp.linalg.solve(S, Wty)
+        return y_seg - jnp.einsum("nim,m->ni", Z_seg, c)
+
+    return _solve
+
+
+def distributed_woodbury_solve(mesh: Mesh, D: Array, U: Array, b: Array,
+                               W: Array) -> Array:
+    """Exact distributed solve of (tridiag(U^T, D, U) + W W^T) x = b.
+
+    W (N, 6, m) stacks the weighted loop-closure Jacobian columns
+    (slam.posegraph.optimize_with_loops_distributed)."""
+    N = D.shape[0]
+    n_dev = mesh.shape["data"]
+    assert N // n_dev >= 2, "segments must hold at least 2 poses"
+    U_pad = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
+    return _woodbury_program(mesh)(D, U_pad, b, W)

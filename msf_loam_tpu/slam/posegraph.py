@@ -269,12 +269,53 @@ def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
     their W columns vanish and S's block is the identity: inert by
     construction, keeping shapes static across detections.
 
-    Distribution note: the chain solve already distributes
-    (optimize_distributed / parallel.distributed_ba); the Woodbury
-    correction is replicated-small (6L x 6L) and needs only a multi-RHS
-    variant of the distributed Thomas — the designated extension if loop
-    counts ever warrant it.
+    The distributed variant (optimize_with_loops_distributed) swaps both
+    Thomas solves for their mesh-sharded Schur-complement counterparts
+    (parallel.distributed_ba); the capacitance solve stays replicated
+    (6L x 6L is tiny).
     """
+    return _optimize_loops_impl(poses0, data, loops, cfg, n_iters,
+                                _woodbury_solve)
+
+
+def _woodbury_solve(D: Array, U: Array, rhs: Array, W: Array) -> Array:
+    """(T + W W^T)^-1 rhs via Thomas + capacitance (single device)."""
+    m = W.shape[-1]
+    y = solve_block_tridiag(D, U, rhs)
+    Z = solve_block_tridiag_multi(D, U, W)
+    S = jnp.eye(m) + jnp.einsum("nim,nik->mk", W, Z)
+    Wty = jnp.einsum("nim,ni->m", W, y)
+    return y - jnp.einsum("nim,m->ni", Z, jnp.linalg.solve(S, Wty))
+
+
+def optimize_with_loops_distributed(mesh, poses0: Pose, data: PoseGraphData,
+                                    loops: LoopFactors, cfg: PoseGraphConfig,
+                                    n_iters: int = 10) -> PoseGraphResult:
+    """Loop-closure pose-graph GN with the whole Woodbury solve (chain
+    Thomas + capacitance correction) distributed over the mesh 'data' axis
+    as ONE shard_map program (parallel.distributed_ba.
+    distributed_woodbury_solve — see its docstring for why the correction
+    must live inside the program). Exact; N must satisfy
+    optimize_distributed's divisibility contract (pad_graph/next_bucket)."""
+    from msf_loam_tpu.parallel.distributed_ba import distributed_woodbury_solve
+
+    # NOTE: the iteration loop is UNROLLED (python loop) here, not
+    # lax.scan. With this particular GN body, the sharded solve inlined
+    # into a scan returns wrong results even though its inputs are
+    # bit-correct inside the scan (XLA SPMD partitioning defect; the
+    # program passes check_vma and smaller scan repros are fine —
+    # test_distributed_loop_posegraph_matches_single_device pins the
+    # correct behavior). The solve runs once at shutdown on a small graph,
+    # so unrolled dispatch cost is irrelevant.
+    return _optimize_loops_impl(
+        poses0, data, loops, cfg, n_iters,
+        functools.partial(distributed_woodbury_solve, mesh), unroll=True)
+
+
+def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
+                         loops: LoopFactors, cfg: PoseGraphConfig,
+                         n_iters: int, woodbury_solver,
+                         unroll: bool = False) -> PoseGraphResult:
     N = poses0.t.shape[0]
     L = loops.idx_i.shape[0]
     m = 6 * L
@@ -300,28 +341,31 @@ def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
                                   rel_val, rel_jac, gps_val, gps_jac)
         r, Li, Lj, w = loop_terms(poses)
 
+        # Loop contributions are built as dense one-hot matmuls, NOT
+        # scatter-adds: an ``at[idx].add`` whose result feeds a shard_map
+        # inside a lax.scan body was observed to mispartition silently
+        # (distributed solve returned garbage; the one-hot form is exact,
+        # tiny (L x N), and rides the MXU). Padded loops have w = 0, so
+        # their one-hot rows contribute nothing.
+        oh_i = jax.nn.one_hot(loops.idx_i, N, dtype=jnp.float32)  # (L, N)
+        oh_j = jax.nn.one_hot(loops.idx_j, N, dtype=jnp.float32)
+
         # rhs gets the loop gradient directly
         wLi = Li * w[:, None, None]
         wLj = Lj * w[:, None, None]
-        b = b.at[loops.idx_i].add(jnp.einsum("lri,lr->li", wLi, r))
-        b = b.at[loops.idx_j].add(jnp.einsum("lri,lr->li", wLj, r))
+        b = b + jnp.einsum("ln,li->ni", oh_i,
+                           jnp.einsum("lri,lr->li", wLi, r))
+        b = b + jnp.einsum("ln,li->ni", oh_j,
+                           jnp.einsum("lri,lr->li", wLj, r))
 
         # W (N, 6, 6L): column block l holds sqrt(w_l)·J_l^T at rows i_l, j_l
         sq = jnp.sqrt(w)[:, None, None]
         Wi = jnp.swapaxes(Li * sq, 1, 2)                      # (L, 6state, 6res)
         Wj = jnp.swapaxes(Lj * sq, 1, 2)
-        W = jnp.zeros((N, 6, L, 6))
-        lidx = jnp.arange(L)
-        W = W.at[loops.idx_i, :, lidx, :].add(Wi)
-        W = W.at[loops.idx_j, :, lidx, :].add(Wj)
-        W = W.reshape(N, 6, m)
+        W = (jnp.einsum("ln,lam->nalm", oh_i, Wi)
+             + jnp.einsum("ln,lam->nalm", oh_j, Wj)).reshape(N, 6, m)
 
-        rhs = -b
-        y = solve_block_tridiag(D, U, rhs)                    # (N, 6)
-        Z = solve_block_tridiag_multi(D, U, W)                # (N, 6, m)
-        S = jnp.eye(m) + jnp.einsum("nim,nik->mk", W, Z)
-        Wty = jnp.einsum("nim,ni->m", W, y)
-        dx = y - jnp.einsum("nim,m->ni", Z, jnp.linalg.solve(S, Wty))
+        dx = woodbury_solver(D, U, -b, W)                     # (N, 6)
         return poses.retract(dx), None
 
     def total_cost(poses):
@@ -330,7 +374,12 @@ def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
         return chain + jnp.sum(w * jnp.sum(r * r, -1))
 
     initial = total_cost(poses0)
-    poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
+    if unroll:
+        poses = poses0
+        for _ in range(n_iters):
+            poses, _ = gn_step(poses, None)
+    else:
+        poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
     final = total_cost(poses)
     return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
 
@@ -400,6 +449,11 @@ def solve_block_tridiag(D: Array, U: Array, b: Array) -> Array:
     Thomas algorithm (sequential lax.scan — O(N) 6x6 ops).
 
     H = tridiag(U^T, D, U); returns x with H x = b.
+
+    Scan inits/pads are derived from the operands (``0 * x`` instead of
+    fresh ``jnp.zeros``) so they inherit the operands' varying-manual-axes
+    type — this keeps the solver VMA-clean when called on device-varying
+    data inside ``shard_map`` (parallel/distributed_ba.py separator solve).
     """
     N = D.shape[0]
 
@@ -414,17 +468,18 @@ def solve_block_tridiag(D: Array, U: Array, b: Array) -> Array:
         return (Dt_i, bt_i), (Dt_i, bt_i)
 
     # pad U with zeros for the first step
-    U_pad = jnp.concatenate([jnp.zeros((1, 6, 6)), U], axis=0)
+    zU = 0.0 * D[:1]
+    U_pad = jnp.concatenate([zU, U], axis=0)
     (_, _), (Dt, bt) = jax.lax.scan(
-        fwd, (jnp.eye(6), jnp.zeros(6)), (D, U_pad, b))
+        fwd, (jnp.eye(6) + 0.0 * D[0], 0.0 * b[0]), (D, U_pad, b))
 
     def bwd(x_next, inp):
         Dt_i, bt_i, U_i = inp
         x_i = jnp.linalg.solve(Dt_i, bt_i - U_i @ x_next)
         return x_i, x_i
 
-    U_pad_end = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
-    _, xs = jax.lax.scan(bwd, jnp.zeros(6), (Dt, bt, U_pad_end), reverse=True)
+    U_pad_end = jnp.concatenate([U, zU], axis=0)
+    _, xs = jax.lax.scan(bwd, 0.0 * b[0], (Dt, bt, U_pad_end), reverse=True)
     return xs
 
 
@@ -432,8 +487,7 @@ def solve_block_tridiag_multi(D: Array, U: Array, B: Array) -> Array:
     """Block-Thomas with m simultaneous right-hand sides: B (N, 6, m) ->
     X (N, 6, m) with tridiag(U^T, D, U) X[:, :, k] = B[:, :, k]. One
     factorization sweep shared by all columns (used by the Woodbury loop
-    solve, where m = 6·n_loops)."""
-    m = B.shape[-1]
+    solve, where m = 6·n_loops). VMA-clean like solve_block_tridiag."""
 
     def fwd(carry, inp):
         Dt_prev, Bt_prev = carry
@@ -443,16 +497,17 @@ def solve_block_tridiag_multi(D: Array, U: Array, B: Array) -> Array:
         Bt_i = B_i - L @ Bt_prev
         return (Dt_i, Bt_i), (Dt_i, Bt_i)
 
-    U_pad = jnp.concatenate([jnp.zeros((1, 6, 6)), U], axis=0)
+    zU = 0.0 * D[:1]
+    U_pad = jnp.concatenate([zU, U], axis=0)
     (_, _), (Dt, Bt) = jax.lax.scan(
-        fwd, (jnp.eye(6), jnp.zeros((6, m))), (D, U_pad, B))
+        fwd, (jnp.eye(6) + 0.0 * D[0], 0.0 * B[0]), (D, U_pad, B))
 
     def bwd(X_next, inp):
         Dt_i, Bt_i, U_i = inp
         X_i = jnp.linalg.solve(Dt_i, Bt_i - U_i @ X_next)
         return X_i, X_i
 
-    U_pad_end = jnp.concatenate([U, jnp.zeros((1, 6, 6))], axis=0)
-    _, Xs = jax.lax.scan(bwd, jnp.zeros((6, m)), (Dt, Bt, U_pad_end),
+    U_pad_end = jnp.concatenate([U, zU], axis=0)
+    _, Xs = jax.lax.scan(bwd, 0.0 * B[0], (Dt, Bt, U_pad_end),
                          reverse=True)
     return Xs

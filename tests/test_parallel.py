@@ -92,6 +92,54 @@ def test_distributed_tridiag_short_segments():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_distributed_tridiag_multi_rhs_matches_exact():
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)
+    N, m = 32, 12
+    D = RNG.normal(size=(N, 6, 6)).astype(np.float32)
+    D = np.einsum("nij,nkj->nik", D, D) + 8 * np.eye(6, dtype=np.float32)
+    U = (RNG.normal(size=(N - 1, 6, 6)) * 0.3).astype(np.float32)
+    B = RNG.normal(size=(N, 6, m)).astype(np.float32)
+
+    want = posegraph.solve_block_tridiag_multi(
+        jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    got = distributed_ba.distributed_tridiag_solve_multi(
+        mesh, jnp.asarray(D), jnp.asarray(U), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_distributed_loop_posegraph_matches_single_device():
+    """Config-5 + loop closure: the distributed Woodbury solve lands on the
+    same trajectory as the single-device one."""
+    from tests.test_loop_closure import _drift_loop_problem
+
+    from msf_loam_tpu.config import PoseGraphConfig
+    from msf_loam_tpu.core.se3 import quat_multiply, quat_rotate
+
+    gt, poses0, data = _drift_loop_problem(N=40)
+    N = gt.t.shape[0]
+    qi_inv = posegraph.quat_conjugate(gt.q[0])
+    meas = Pose(
+        t=quat_rotate(qi_inv, gt.t[N - 1] - gt.t[0])[None],
+        q=posegraph.quat_normalize(quat_multiply(qi_inv, gt.q[N - 1]))[None])
+    loops = posegraph.LoopFactors.pad(
+        np.array([0]), np.array([N - 1]), meas, to_l=4)
+    data = data._replace(gps_xyz=gt.t[:1],
+                         gps_valid=jnp.ones(1, bool))
+    cfg = PoseGraphConfig()
+
+    mesh = mesh_mod.make_mesh(n_map=1, n_data=8)   # 40 -> 8 segments of 5
+    out_d = posegraph.optimize_with_loops_distributed(
+        mesh, poses0, data, loops, cfg, n_iters=10)
+    out_s = posegraph.optimize_with_loops(poses0, data, loops, cfg,
+                                          n_iters=10)
+    np.testing.assert_allclose(np.asarray(out_d.poses.t),
+                               np.asarray(out_s.poses.t), atol=5e-3)
+    drift1 = float(jnp.linalg.norm(out_d.poses.t[-1] - gt.t[-1]))
+    drift0 = float(jnp.linalg.norm(poses0.t[-1] - gt.t[-1]))
+    assert drift1 < 0.15 * drift0
+
+
 def test_sharded_pipeline_matches_dense():
     """End-to-end config-5: the sharded-map pipeline must track the same
     trajectory as the single-device pipeline (queries are exact)."""
