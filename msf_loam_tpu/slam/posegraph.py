@@ -269,10 +269,10 @@ def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
     their W columns vanish and S's block is the identity: inert by
     construction, keeping shapes static across detections.
 
-    The distributed variant (optimize_with_loops_distributed) swaps both
-    Thomas solves for their mesh-sharded Schur-complement counterparts
-    (parallel.distributed_ba); the capacitance solve stays replicated
-    (6L x 6L is tiny).
+    The distributed variant (optimize_with_loops_distributed) runs the
+    whole Woodbury solve as one mesh-sharded Schur-complement program
+    (parallel.distributed_ba.distributed_woodbury_solve); the capacitance
+    solve stays replicated (6L x 6L is tiny).
     """
     return _optimize_loops_impl(poses0, data, loops, cfg, n_iters,
                                 _woodbury_solve)
@@ -318,6 +318,8 @@ def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
                          unroll: bool = False) -> PoseGraphResult:
     N = poses0.t.shape[0]
     L = loops.idx_i.shape[0]
+    assert L > 0, "pad loops to at least 1 slot (LoopFactors.pad); " \
+                  "invalid slots are inert"
     m = 6 * L
     rel_val, rel_jac, gps_val, gps_jac = _make_factor_fns(cfg)
 
