@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--json", default=None)
     ap.add_argument("--imu_frames", type=int, default=40)
+    ap.add_argument("--loop_frames", type=int, default=60,
+                    help="frames for the loop-closure section (smaller "
+                         "fits tight compile windows on the remote TPU)")
     ap.add_argument("--only", choices=["odo", "map", "gps", "lio", "loop"],
                     default=None,
                     help="run a single section (compile-budget splitting "
@@ -140,8 +143,8 @@ def main():
                                        "map_evict_period": 5}}, f)
             base = [sys.executable, "-m", "msf_loam_tpu.apps.run_slam",
                     "--selftest", "--selftest_path", "loop",
-                    "--selftest_frames", "60", "--config", cfg_path,
-                    "--eval", "--quiet"]
+                    "--selftest_frames", str(args.loop_frames),
+                    "--config", cfg_path, "--eval", "--quiet"]
             def run(extra, outdir):
                 out = subprocess.run(
                     base + extra + ["--output_dir", outdir],
