@@ -299,14 +299,16 @@ def optimize_with_loops_distributed(mesh, poses0: Pose, data: PoseGraphData,
     optimize_distributed's divisibility contract (pad_graph/next_bucket)."""
     from msf_loam_tpu.parallel.distributed_ba import distributed_woodbury_solve
 
-    # NOTE: the iteration loop is UNROLLED (python loop) here, not
-    # lax.scan. With this particular GN body, the sharded solve inlined
-    # into a scan returns wrong results even though its inputs are
-    # bit-correct inside the scan (XLA SPMD partitioning defect; the
-    # program passes check_vma and smaller scan repros are fine —
-    # test_distributed_loop_posegraph_matches_single_device pins the
-    # correct behavior). The solve runs once at shutdown on a small graph,
-    # so unrolled dispatch cost is irrelevant.
+    # NOTE: the iteration loop is UNROLLED and runs EAGERLY (python loop,
+    # no enclosing jit). With this particular GN body, the sharded solve
+    # returns wrong results whenever it is inlined into a LARGER jitted
+    # computation — lax.scan or a plain jit around one step both trigger
+    # it — even though its inputs are bit-correct at the call site (XLA
+    # SPMD partitioning defect; the program passes check_vma and smaller
+    # repros are fine). Only the eager composition is correct;
+    # test_distributed_loop_posegraph_matches_single_device pins it.
+    # The solve runs once at shutdown on a small graph, so eager dispatch
+    # cost is acceptable.
     return _optimize_loops_impl(
         poses0, data, loops, cfg, n_iters,
         functools.partial(distributed_woodbury_solve, mesh), unroll=True)
