@@ -54,6 +54,15 @@ def test_run_slam_loop_closure(tmp_path, capsys):
     assert out["loop_edges"] >= 1, out
     assert out["ate_rmse_m"] < 0.08, out
 
+    # no-revisit trajectory: detection yields zero edges and the padded
+    # (all-invalid) solve must leave the trajectory intact
+    rc = main(["--selftest", "--selftest_frames", "25", "--loop_closure",
+               "--eval", "--quiet", "--output_dir", str(tmp_path / "b")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["loop_edges"] == 0, out
+    assert out["ate_rmse_m"] < 0.08, out
+
 
 def test_evaluate_cli(kitti_fixture, tmp_path, capsys):
     from msf_loam_tpu.apps.evaluate import main as eval_main
