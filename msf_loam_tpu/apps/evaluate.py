@@ -30,6 +30,37 @@ def rpe(est_t: np.ndarray, gt_t: np.ndarray, delta: int = 10) -> float:
     return float(np.sqrt((err ** 2).mean()))
 
 
+def _quat_wxyz_to_R(q: np.ndarray) -> np.ndarray:
+    """Batch wxyz quaternion -> rotation matrices (N, 3, 3)."""
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty(q.shape[:1] + (3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe_rot_deg(est_R: np.ndarray, gt_R: np.ndarray, delta: int = 10) -> float:
+    """Relative rotation error RMSE (degrees) over a frame delta: the
+    angle of (gt_i^T gt_j)^T (est_i^T est_j)."""
+    n = min(len(est_R), len(gt_R)) - delta
+    if n <= 0:
+        return float("nan")
+    rel_est = np.einsum("nij,nik->njk", est_R[:n], est_R[delta:delta + n])
+    rel_gt = np.einsum("nij,nik->njk", gt_R[:n], gt_R[delta:delta + n])
+    E = np.einsum("nij,nik->njk", rel_gt, rel_est)
+    tr = np.clip((np.einsum("nii->n", E) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(tr))
+    return float(np.sqrt((ang ** 2).mean()))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trajectory", required=True, help="run_slam .npz output")
@@ -44,9 +75,15 @@ def main(argv=None) -> int:
 
     traj = load_trajectory(args.trajectory)
     est_t = traj["translation"]
+    est_R = (_quat_wxyz_to_R(traj["rotation_wxyz"])
+             if "rotation_wxyz" in traj else None)
 
+    gt_R = None
     if args.gt_npz:
-        gt_t = load_trajectory(args.gt_npz)["translation"]
+        gt = load_trajectory(args.gt_npz)
+        gt_t = gt["translation"]
+        if "rotation_wxyz" in gt:
+            gt_R = _quat_wxyz_to_R(gt["rotation_wxyz"])
     elif args.kitti_root:
         from msf_loam_tpu.dataio.kitti import KittiSequence
         seq = KittiSequence(args.kitti_root, args.sequence)
@@ -54,6 +91,7 @@ def main(argv=None) -> int:
             print("error: no ground-truth poses found", file=sys.stderr)
             return 2
         gt_t = seq.gt_poses[:, :3, 3]
+        gt_R = seq.gt_poses[:, :3, :3]
     else:
         print("error: --kitti_root or --gt_npz required", file=sys.stderr)
         return 2
@@ -71,6 +109,10 @@ def main(argv=None) -> int:
         "trajectory_length_m": round(float(
             np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum()), 1),
     }
+    if est_R is not None and gt_R is not None:
+        rot_val = rpe_rot_deg(est_R[:n], gt_R[:n], args.rpe_delta)
+        out[f"rpe_{args.rpe_delta}_rot_deg"] = (
+            None if np.isnan(rot_val) else round(rot_val, 3))
     print(json.dumps(out))
     return 0
 

@@ -71,10 +71,31 @@ def test_evaluate_cli(kitti_fixture, tmp_path, capsys):
                "--n_rings", "16", "--quiet", "--output_dir", str(tmp_path)])
     capsys.readouterr()
     rc = eval_main(["--trajectory", str(tmp_path / "trajectory.npz"),
-                    "--kitti_root", kitti_fixture, "--sequence", "00"])
+                    "--kitti_root", kitti_fixture, "--sequence", "00",
+                    "--rpe_delta", "2"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["ate_rmse_m"] < 0.08
+    # rotational RPE is reported when both sides carry rotations, and a
+    # well-tracked short sequence stays under a degree
+    assert out["rpe_2_rot_deg"] is not None
+    assert out["rpe_2_rot_deg"] < 1.0, out
+
+
+def test_rpe_rot_identity_and_known_angle():
+    from msf_loam_tpu.apps.evaluate import _quat_wxyz_to_R, rpe_rot_deg
+    n = 20
+    # identical trajectories -> 0 deg
+    q = np.tile(np.array([1.0, 0, 0, 0]), (n, 1))
+    R = _quat_wxyz_to_R(q)
+    assert rpe_rot_deg(R, R, delta=5) == 0.0
+    # estimate accumulates 2 deg per frame of extra yaw -> over delta=5
+    # the relative rotation error is exactly 10 deg
+    ang = np.deg2rad(2.0) * np.arange(n)
+    qe = np.stack([np.cos(ang / 2), np.zeros(n), np.zeros(n),
+                   np.sin(ang / 2)], axis=1)
+    Re = _quat_wxyz_to_R(qe)
+    np.testing.assert_allclose(rpe_rot_deg(Re, R, delta=5), 10.0, atol=1e-6)
 
 
 def test_ply_roundtrip(tmp_path):
