@@ -114,7 +114,10 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger,
             jnp.asarray(keyframes[k].full.mask))) for k in kf_idx])
         triples = sc.detect_loops_scan_context(
             descs, min_index_gap=gap_kf, max_dist=pg.loop_sc_max_dist,
-            max_loops=pg.loop_max_count, suppress_gap=max(1, gap_kf // 2))
+            max_loops=pg.loop_max_count, suppress_gap=max(1, gap_kf // 2),
+            # ring-key prescreen pays off once the full N^2 x S shifted
+            # scoring dominates (KITTI-scale keyframe sets)
+            prescreen=0 if len(kf_idx) < 100 else 25)
         pairs = [(a, b) for a, b, _ in triples]
         for a, b, yaw in triples:
             # appearance seed: same place, heading differs by the

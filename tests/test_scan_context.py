@@ -68,3 +68,14 @@ def test_detect_survives_arbitrary_drift():
     assert any(i == 0 and j == n - 1 for i, j, _ in loops), loops
     hit = [l for l in loops if l[0] == 0 and l[1] == n - 1][0]
     assert abs(hit[2] - np.pi / 2) < np.deg2rad(9.0)
+
+    # ring-key prescreen: exact same detections with a wide budget, and
+    # the revisit survives a tight budget (ring keys are yaw-invariant)
+    wide = sc.detect_loops_scan_context(np.stack(descs), min_index_gap=8,
+                                        max_dist=0.2, max_loops=2,
+                                        prescreen=n - 1)
+    assert wide == loops
+    tight = sc.detect_loops_scan_context(np.stack(descs), min_index_gap=8,
+                                         max_dist=0.2, max_loops=2,
+                                         prescreen=3)
+    assert any(i == 0 and j == n - 1 for i, j, _ in tight), tight
