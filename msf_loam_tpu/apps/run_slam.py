@@ -52,6 +52,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="revisit detection: trajectory proximity, or "
                          "appearance (scan-context descriptors — drift-"
                          "proof, yaw seeded from the descriptor shift)")
+    ap.add_argument("--loop_edge_matcher", choices=("scan", "submap"),
+                    default="scan",
+                    help="loop edge measurement: scan-to-scan, or scan-to-"
+                         "submap (register against keyframe i's "
+                         "neighborhood — tighter under viewpoint change)")
     ap.add_argument("--posegraph", action="store_true",
                     help="run the GPS/odometry pose-graph fusion at shutdown")
     ap.add_argument("--output_dir", default=".")
@@ -90,7 +95,7 @@ def _make_pipeline(cfg, args):
 
 
 def _close_loops(cfg, poses, data, traj, keyframes, logger,
-                 detector="proximity"):
+                 detector="proximity", edge_matcher="scan"):
     """Detect revisits among the keyframe snapshots, scan-match each
     candidate pair into a loop edge, and solve the pose graph with the
     edges folded in (loop_closure module docstring has the design)."""
@@ -100,7 +105,8 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger,
     from msf_loam_tpu.core.se3 import Pose, quat_exp
     from msf_loam_tpu.slam import posegraph
     from msf_loam_tpu.slam.loop_closure import (LoopEdge, SparsePoseGraph,
-                                                detect_loops, match_loop_pair)
+                                                detect_loops, match_loop_pair,
+                                                match_loop_pair_submap)
 
     pg = cfg.posegraph
     kf_idx = sorted(keyframes)
@@ -138,9 +144,23 @@ def _close_loops(cfg, poses, data, traj, keyframes, logger,
                       q=jnp.asarray(traj[fi, 4:8], jnp.float32))
         pose_j = Pose(t=jnp.asarray(traj[fj, 1:4], jnp.float32),
                       q=jnp.asarray(traj[fj, 4:8], jnp.float32))
-        rel, ok = match_loop_pair(
-            jax.device_put(keyframes[fi]), jax.device_put(keyframes[fj]),
-            pose_i, pose_j, cfg, guess=guesses.get((a, b)))
+        if edge_matcher == "submap":
+            guess = guesses.get((a, b))
+            if guess is None:
+                guess = pose_i.inverse().compose(pose_j)
+            neighbors = []
+            for fn_ in (fi - stride, fi, fi + stride):
+                if fn_ in keyframes:
+                    pose_n = Pose(t=jnp.asarray(traj[fn_, 1:4], jnp.float32),
+                                  q=jnp.asarray(traj[fn_, 4:8], jnp.float32))
+                    neighbors.append((jax.device_put(keyframes[fn_]),
+                                      pose_i.inverse().compose(pose_n)))
+            rel, ok = match_loop_pair_submap(
+                neighbors, jax.device_put(keyframes[fj]), guess, cfg)
+        else:
+            rel, ok = match_loop_pair(
+                jax.device_put(keyframes[fi]), jax.device_put(keyframes[fj]),
+                pose_i, pose_j, cfg, guess=guesses.get((a, b)))
         if bool(ok):
             graph.add_edge(LoopEdge(fi, fj, np.asarray(rel.t),
                                     np.asarray(rel.q)))
@@ -350,7 +370,8 @@ def main(argv=None) -> int:
             poses, data, posegraph.next_bucket(n_real))
         if run_lc:
             out, n_edges = _close_loops(cfg, poses, data, traj, keyframes,
-                                        logger, detector=args.loop_detector)
+                                        logger, detector=args.loop_detector,
+                                        edge_matcher=args.loop_edge_matcher)
             summary["loop_edges"] = n_edges
         else:
             out = posegraph.optimize(poses, data, cfg.posegraph,

@@ -94,6 +94,40 @@ def match_loop_pair(feats_i, feats_j, pose_i: Pose, pose_j: Pose,
     return result.pose_curr2last, result.ok
 
 
+def match_loop_pair_submap(neighbors, feats_j, guess: Pose,
+                           cfg: MsfLoamConfig,
+                           table_size: int = 1 << 12,
+                           cell_capacity: int = 16):
+    """Measure the loop relative pose by registering keyframe j against a
+    SUBMAP built from keyframe i and its neighbors (expressed in i's
+    frame) — the scan-to-map machinery re-targeted at a local window, for
+    edges tighter than single-scan matching when the revisit viewpoint
+    differs.
+
+    neighbors: list of (ScanFeatures, Pose) where the pose maps that
+    keyframe's sensor frame into keyframe i's frame ((identity for i
+    itself). Returns (rel pose i->j, ok)."""
+    from msf_loam_tpu.slam import mapping, voxel_map
+    from msf_loam_tpu.slam.pipeline import downsample_features
+
+    mc = cfg.mapping
+    cmap = voxel_map.create_map(table_size, cell_capacity, mc.map_cell_size,
+                                mc.line_resolution)
+    smap = voxel_map.create_map(table_size, cell_capacity, mc.map_cell_size,
+                                mc.plane_resolution)
+    for feats, rel in neighbors:
+        cw = feats.corner_less_sharp.transform(rel)
+        sw = feats.surf_less_flat.transform(rel)
+        cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)
+        smap = voxel_map.insert(smap, sw.xyz, sw.mask)
+    corner_ds = downsample_features(feats_j.corner_less_sharp,
+                                    mc.line_resolution, mc.max_query_points)
+    surf_ds = downsample_features(feats_j.surf_less_flat,
+                                  mc.plane_resolution, mc.max_query_points)
+    res = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds, guess, mc)
+    return res.pose, res.ok
+
+
 class SparsePoseGraph:
     """Keyframe pose graph with loop edges — the working version of the
     reference's stub (sparse_pose_graph.h:8-13): ``add_edge`` collects loop

@@ -178,6 +178,43 @@ def test_sparse_pose_graph_optimizes_edges():
     assert drift1 < 0.15 * drift0
 
 
+def test_match_loop_pair_submap_recovers_relative_pose():
+    """Submap edge matcher: keyframe j registered against i's neighborhood
+    recovers a known relative pose."""
+    import jax
+
+    from msf_loam_tpu.config import FeatureConfig, MsfLoamConfig
+    from msf_loam_tpu.dataio import preprocess, synthetic
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.slam.loop_closure import match_loop_pair_submap
+
+    fcfg = FeatureConfig(max_points_per_ring=1024, max_less_flat=4096)
+    cfg = MsfLoamConfig(features=fcfg)
+    world = synthetic.World.corridor(seed=1, size=14.0)
+
+    def feats_at(p, seed):
+        xyz, ring = synthetic.simulate_scan(world, np.asarray(p, np.float64),
+                                            np.eye(3), n_rings=16,
+                                            pts_per_ring=1200, noise=0.004,
+                                            seed=seed)
+        img = preprocess.preprocess_scan(xyz, ring, fcfg, 16)
+        return feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
+
+    rel_true = np.array([0.4, 0.15, 0.0])
+    f_i = feats_at([0, 0, 0], 0)
+    f_n = feats_at([0.3, 0, 0], 1)      # neighbor keyframe
+    f_j = feats_at(rel_true, 2)
+    neighbors = [(f_i, Pose.identity()),
+                 (f_n, Pose(t=jnp.asarray([0.3, 0, 0], jnp.float32),
+                            q=jnp.asarray([1.0, 0, 0, 0], jnp.float32)))]
+    guess = Pose(t=jnp.asarray(rel_true + np.array([0.15, -0.1, 0]),
+                               jnp.float32),
+                 q=jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+    rel, ok = match_loop_pair_submap(neighbors, f_j, guess, cfg)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(rel.t), rel_true, atol=0.03)
+
+
 def test_invalid_loops_match_plain_optimize():
     """All-padded (invalid) loop factors must be inert: identical result to
     the chain-only optimizer."""
