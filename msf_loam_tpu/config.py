@@ -149,6 +149,42 @@ class MsfLoamConfig:
     extrinsic: ExtrinsicConfig = dataclasses.field(default_factory=ExtrinsicConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
 
+    def __post_init__(self):
+        self.validate()
+
+    def validate(self) -> None:
+        """Reject configs that would silently produce wrong answers.
+
+        The 8-cell octant query (voxel_map.query_knn) is only COMPLETE out
+        to radius map_cell_size/2; a knn distance gate beyond that radius
+        would accept incomplete neighbor sets without any error signal, so
+        it is a hard config-time error, not a comment.
+        """
+        mc = self.mapping
+        r_complete_sq = (mc.map_cell_size / 2.0) ** 2
+        if mc.knn_dist_sq_max > r_complete_sq + 1e-9:
+            raise ValueError(
+                f"mapping.knn_dist_sq_max={mc.knn_dist_sq_max} exceeds the "
+                f"8-cell query completeness bound (map_cell_size/2)^2="
+                f"{r_complete_sq}: queries would silently return incomplete "
+                f"neighbor sets. Raise map_cell_size or lower the gate.")
+        if mc.map_table_size <= 0 or mc.map_cell_capacity <= 0:
+            raise ValueError("mapping.map_table_size and map_cell_capacity "
+                             "must be positive")
+        if mc.max_query_points < mc.knn:
+            raise ValueError(
+                f"mapping.max_query_points={mc.max_query_points} is below "
+                f"knn={mc.knn}; the static query budget cannot hold one "
+                f"correspondence set")
+        if mc.knn < 2:
+            raise ValueError("mapping.knn must be >= 2 (line/plane fits "
+                             "need multiple neighbors)")
+        fc = self.features
+        if fc.sharp_per_sector > fc.less_sharp_per_sector:
+            raise ValueError("features.sharp_per_sector cannot exceed "
+                             "less_sharp_per_sector (sharp picks are a "
+                             "prefix of the less-sharp set)")
+
     @staticmethod
     def from_json(path: str) -> "MsfLoamConfig":
         """Load a config from JSON. Accepts both this framework's nested

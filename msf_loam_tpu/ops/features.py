@@ -254,7 +254,7 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     # respecting corner suppression. (Multi-pick flats measurably degrade
     # odometry rotation accuracy — the 4 flat anchors per sector carry the
     # plane constraints; keep them exact.)
-    flat_picks, flat_sup = _pick_rounds(
+    flat_picks, _ = _pick_rounds(
         curv, eligible, sector, gap, cfg,
         n_total=cfg.flat_per_sector, maximize=False,
         curv_gate=lambda c: c < cfg.curvature_threshold,
@@ -269,18 +269,11 @@ def extract_features(ring_image: RingImage, scan_time: Array,
                          R * S * cfg.flat_per_sector)
 
     # less-flat: everything eligible that is not a corner pick / corner
-    # neighbor (reference: labels FLAT or UNKNOWN, msf_loam_node.cc:339-344),
-    # voxel-downsampled at less_flat_leaf.
-    corner_label = jnp.zeros((R, W), bool)
-    for k in range(corner_picks.shape[0]):
-        pick = corner_picks[k]
-        valid = pick >= 0
-        corner_label = corner_label.at[
-            jnp.repeat(jnp.arange(R), S), pick.reshape(-1)
-        ].max(valid.reshape(-1), mode="drop")
-    # corner-neighbor suppressions are labeled P_LESS_SHARP too -> excluded.
-    # `suppressed` (post corner rounds) == picks + their labeled neighbors.
-    less_flat_mask = eligible & ~suppressed | (corner_label & jnp.zeros((R, W), bool))
+    # neighbor (reference labels those P_SHARP / P_LESS_SHARP and keeps only
+    # P_FLAT / P_UNKNOWN in the less-flat cloud, msf_loam_node.cc:270-344).
+    # `suppressed` (post corner rounds) == corner picks + their ±5 labeled
+    # neighbors, so the mask is exactly eligible-and-not-corner-labeled.
+    less_flat_mask = eligible & ~suppressed
     lf_xyz = ring_image.xyz.reshape(-1, 3)
     lf_rel = ring_image.rel_time.reshape(-1)
     lf_ring = jnp.broadcast_to(jnp.arange(R)[:, None], (R, W)).reshape(-1)

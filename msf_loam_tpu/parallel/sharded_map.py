@@ -39,7 +39,12 @@ def create_sharded_map(mesh: Mesh, table_size: int, slab_capacity: int,
                        cell_size: float, leaf: float) -> VoxelHashMap:
     """Create a map whose hash-table axis is sharded over mesh axis 'map'."""
     n_shards = mesh.shape["map"]
-    assert table_size % n_shards == 0
+    if table_size % n_shards != 0:
+        raise ValueError(
+            f"map_table_size={table_size} must divide evenly over the "
+            f"{n_shards}-way 'map' mesh axis (got remainder "
+            f"{table_size % n_shards}); slot ownership ranges would "
+            f"misalign with the sharded layout")
     m = vm.create_map(table_size, slab_capacity, cell_size, leaf)
     shard = NamedSharding(mesh, P("map"))
     rep = NamedSharding(mesh, P())
@@ -90,6 +95,44 @@ def sharded_insert(mesh: Mesh, vmap_state: VoxelHashMap, xyz: Array,
     points, leaf_key, count, n_obs = fn(
         vmap_state.points, vmap_state.leaf_key, vmap_state.count,
         vmap_state.n_obs, vmap_state.cell_size, vmap_state.leaf, xyz, mask)
+    return vmap_state._replace(points=points, leaf_key=leaf_key, count=count,
+                               n_obs=n_obs)
+
+
+@functools.lru_cache(maxsize=64)
+def _evict_program(mesh: Mesh):
+    """Jitted sharded evict-far pass: vm.evict_far is per-slot elementwise
+    (+ per-slab compaction sort), so it maps over the 'map' axis with zero
+    communication."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("map", None, None), P("map", None), P("map"),
+                  P("map", None), P(), P(), P(), P()),
+        out_specs=(P("map", None, None), P("map", None), P("map"),
+                   P("map", None)),
+    )
+    def _evict(points, leaf_key, count, n_obs, cell_size, leaf, center,
+               radius):
+        local = VoxelHashMap(points, leaf_key, count, n_obs, cell_size, leaf)
+        out = vm.evict_far(local, center, radius)
+        return out.points, out.leaf_key, out.count, out.n_obs
+
+    return _evict
+
+
+def sharded_evict_far(mesh: Mesh, vmap_state: VoxelHashMap, center: Array,
+                      radius: float) -> VoxelHashMap:
+    """Drop stored points beyond ``radius`` of center, per shard (no
+    collectives). Long-trajectory analog of SlamPipeline's periodic
+    vm.evict_far — without it the sharded tables fill monotonically and
+    collisions degrade kNN quality."""
+    fn = _evict_program(mesh)
+    points, leaf_key, count, n_obs = fn(
+        vmap_state.points, vmap_state.leaf_key, vmap_state.count,
+        vmap_state.n_obs, vmap_state.cell_size, vmap_state.leaf,
+        jnp.asarray(center, jnp.float32), jnp.float32(radius))
     return vmap_state._replace(points=points, leaf_key=leaf_key, count=count,
                                n_obs=n_obs)
 

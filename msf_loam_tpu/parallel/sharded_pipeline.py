@@ -112,6 +112,18 @@ class ShardedSlamPipeline:
         self.surf_map = sharded_map.sharded_insert(
             self.mesh, self.surf_map, sw.xyz, sw.mask)
 
+        # periodic far-point eviction, same cadence as SlamPipeline._maybe_evict
+        # — without it the sharded tables fill monotonically on long
+        # trajectories and hash collisions degrade kNN quality
+        mc = cfg.mapping
+        if mc.map_evict_period > 0 and \
+                (self.frame_idx + 1) % mc.map_evict_period == 0:
+            center = self.pose_map.t
+            self.corner_map = sharded_map.sharded_evict_far(
+                self.mesh, self.corner_map, center, mc.map_evict_radius)
+            self.surf_map = sharded_map.sharded_evict_far(
+                self.mesh, self.surf_map, center, mc.map_evict_radius)
+
         self.prev_scan = scan
         self.frame_idx += 1
         res = FrameResult(time=float(scan.time), odom_pose=self.pose_odom,

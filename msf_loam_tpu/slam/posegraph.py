@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from msf_loam_tpu.config import PoseGraphConfig
 from msf_loam_tpu.core.se3 import (Pose, quat_conjugate, quat_multiply,
-                                   quat_normalize)
+                                   quat_normalize, quat_rotate)
 
 Array = jax.Array
 
@@ -84,11 +84,7 @@ class PoseGraphData(NamedTuple):
 def build_graph_data(times: Array, poses: Pose, gps_times: Array,
                      gps_xyz: Array, gps_valid: Array) -> PoseGraphData:
     """Derive measured relative poses + GPS bracketing (gps_fusion.cc:58-71)."""
-    rel = Pose(
-        t=poses.t[:-1], q=poses.q[:-1]
-    )
     inv_q = quat_conjugate(poses.q[:-1])
-    from msf_loam_tpu.core.se3 import quat_rotate
     rel_t = quat_rotate(inv_q, poses.t[1:] - poses.t[:-1])
     rel_q = quat_normalize(quat_multiply(inv_q, poses.q[1:]))
     rel_meas = Pose(t=rel_t, q=rel_q)

@@ -88,13 +88,21 @@ def pairwise_min_distances(descs: Array) -> Tuple[Array, Array]:
     return jax.vmap(lambda d: shifted_distances(d, descs))(descs)
 
 
-def _prescreened_distances(descs: Array, k: int):
+def _prescreened_distances(descs: Array, k: int, min_index_gap: int):
     """Two-stage pairwise distances: L1 ring-key ranking picks the k best
     candidates per query; only those pairs get exact shifted scoring.
-    Non-candidates are reported as +inf (never detected)."""
+    Non-candidates are reported as +inf (never detected).
+
+    Pairs the detector can never accept — j < i + min_index_gap, i.e.
+    temporally adjacent keyframes (near-identical ring keys) and j<=i
+    duplicates — are masked out BEFORE top_k so the whole k budget goes to
+    admissible revisit candidates instead of being eaten by neighbors."""
     n = descs.shape[0]
     keys = ring_key(descs)                                   # (N, R)
     kd = jnp.sum(jnp.abs(keys[:, None, :] - keys[None, :, :]), axis=-1)
+    ii = jnp.arange(n)
+    inadmissible = (ii[None, :] - ii[:, None]) < min_index_gap   # j-i < gap
+    kd = jnp.where(inadmissible, jnp.inf, kd)
     _, cand = jax.lax.top_k(-kd, k)                          # (N, k)
     cd = descs[cand.reshape(-1)].reshape((n, k) + descs.shape[1:])
     d_sub, s_sub = jax.vmap(shifted_distances)(descs, cd)    # (N, k) x2
@@ -137,7 +145,7 @@ def detect_loops_scan_context(descs: np.ndarray, min_index_gap: int = 20,
     if n < 2:
         return []
     if prescreen and n > prescreen:
-        d, shift = _prescreened_distances(descs, prescreen)
+        d, shift = _prescreened_distances(descs, prescreen, min_index_gap)
     else:
         d, shift = jax.device_get(pairwise_min_distances(descs))
     ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")

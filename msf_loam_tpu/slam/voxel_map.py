@@ -172,20 +172,30 @@ def insert_at_slots(vmap: VoxelHashMap, xyz: Array, mask: Array,
 @jax.jit
 def evict_far(vmap: VoxelHashMap, center: Array, radius: float = 100.0
               ) -> VoxelHashMap:
-    """Release slots whose content is farther than ``radius`` from center.
+    """Drop stored points farther than ``radius`` from center.
 
     The reference keeps an unbounded grid but only queries a 60 m surround
     (hybrid_grid.cc:474,532); a fixed-size hash table instead needs
     eviction so km-scale trajectories don't exhaust slots via collisions.
-    Run every few frames with the current pose: slots anchored (first
-    stored point) beyond the radius reset to empty. O(H) elementwise.
+    Eviction is per stored POINT, not per slot: hash collisions mix
+    far-apart cells into one slab, so a slot-level anchor test would evict
+    (or wrongly retain) live near cells that share a slot with stale far
+    ones. Each slab is compacted with a stable keep-first argsort —
+    O(H * P log P) elementwise/sort work, run every few frames.
     """
-    anchor = vmap.points[:, 0, :]                       # (H, 3)
-    d2 = jnp.sum((anchor - center[None, :]) ** 2, axis=-1)
-    far = (vmap.count > 0) & (d2 > radius * radius)
-    new_count = jnp.where(far, 0, vmap.count)
-    new_keys = jnp.where(far[:, None], -1, vmap.leaf_key)
-    return vmap._replace(count=new_count, leaf_key=new_keys)
+    H, P = vmap.table_size, vmap.slab_capacity
+    occup = jnp.arange(P)[None, :] < vmap.count[:, None]         # (H, P)
+    d2 = jnp.sum((vmap.points - center[None, None, :]) ** 2, axis=-1)
+    keep = occup & (d2 <= radius * radius)
+    order = jnp.argsort(~keep, axis=1, stable=True)              # kept first
+    new_points = jnp.take_along_axis(vmap.points, order[..., None], axis=1)
+    new_keys = jnp.take_along_axis(vmap.leaf_key, order, axis=1)
+    new_nobs = jnp.take_along_axis(vmap.n_obs, order, axis=1)
+    new_count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    live = jnp.arange(P)[None, :] < new_count[:, None]
+    new_keys = jnp.where(live, new_keys, -1)
+    return vmap._replace(points=new_points, leaf_key=new_keys,
+                         count=new_count, n_obs=new_nobs)
 
 
 def _dedup_batch(xyz: Array, mask: Array, leaf: Array,

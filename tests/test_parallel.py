@@ -202,3 +202,38 @@ def test_distributed_posegraph_matches_single_device():
     out_dist = posegraph.optimize_distributed(mesh, est, data, cfg, n_iters=8)
     np.testing.assert_allclose(np.asarray(out_dist.poses.t),
                                np.asarray(out_single.poses.t), atol=2e-3)
+
+
+def test_sharded_evict_matches_dense():
+    mesh = mesh_mod.make_mesh(n_map=8, n_data=1)
+    H, P_, cell, leaf = 1 << 12, 16, 2.0, 0.2
+    near = RNG.uniform(-8, 8, size=(500, 3)).astype(np.float32)
+    far = (RNG.uniform(-8, 8, size=(500, 3)) + 400.0).astype(np.float32)
+    pts = np.concatenate([near, far]).astype(np.float32)
+    mask = np.ones(1000, bool)
+
+    dense = voxel_map.create_map(H, P_, cell, leaf)
+    dense = voxel_map.insert(dense, jnp.asarray(pts), jnp.asarray(mask))
+    dense = voxel_map.evict_far(dense, jnp.zeros(3), radius=100.0)
+
+    shard = sharded_map.create_sharded_map(mesh, H, P_, cell, leaf)
+    shard = sharded_map.sharded_insert(mesh, shard, jnp.asarray(pts),
+                                       jnp.asarray(mask))
+    shard = sharded_map.sharded_evict_far(mesh, shard, jnp.zeros(3), 100.0)
+    assert int(shard.count.sum()) == int(dense.count.sum())
+
+    q = RNG.uniform(-7, 7, size=(64, 3)).astype(np.float32)
+    d2_d, _, val_d = voxel_map.query_knn(dense, jnp.asarray(q),
+                                         jnp.ones(64, bool), k=5)
+    d2_s, _, val_s = sharded_map.sharded_query_knn(
+        mesh, shard, jnp.asarray(q), jnp.ones(64, bool), k=5)
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_d))
+
+
+def test_sharded_map_rejects_indivisible_table():
+    mesh = mesh_mod.make_mesh(n_map=8, n_data=1)
+    import pytest
+    with pytest.raises(ValueError, match="map_table_size"):
+        sharded_map.create_sharded_map(mesh, 4097, 16, 2.0, 0.2)

@@ -79,3 +79,22 @@ def test_detect_survives_arbitrary_drift():
                                          max_dist=0.2, max_loops=2,
                                          prescreen=3)
     assert any(i == 0 and j == n - 1 for i, j, _ in tight), tight
+
+
+def test_prescreen_budget_spent_on_admissible_pairs():
+    """Temporally adjacent keyframes have near-identical ring keys; without
+    masking |i-j| < min_index_gap before top_k they eat the whole candidate
+    budget and a genuine revisit is silently prescreened out. With the mask
+    even a budget of 1 per query must keep the revisit."""
+    n = 30
+    descs = []
+    for i in range(n):
+        if i < n - 1:
+            p, yaw, seed = [0.25 * i, 0.0, 0.0], 0.0, i  # dense, slow march
+        else:
+            p, yaw, seed = [0.0, 0.0, 0.0], 0.0, 200     # revisit frame 0
+        descs.append(np.asarray(sc.compute_descriptor(*_scan(p, yaw, seed))))
+    loops = sc.detect_loops_scan_context(np.stack(descs), min_index_gap=20,
+                                         max_dist=0.2, max_loops=2,
+                                         prescreen=1)
+    assert any(j == n - 1 for _, j, _ in loops), loops

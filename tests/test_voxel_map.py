@@ -113,3 +113,49 @@ def test_evict_far_releases_distant_cells():
     d2, _, valid = voxel_map.query_knn(m, jnp.asarray(far[:8]),
                                        jnp.ones(8, bool), k=1)
     assert bool(np.asarray(valid).any())
+
+
+def test_evict_far_is_collision_proof():
+    # Tiny table so far and near points are guaranteed to share slots via
+    # hash collisions: per-POINT eviction must keep every near point and
+    # drop every far one regardless of slab cohabitation.
+    m = voxel_map.create_map(table_size=8, slab_capacity=64,
+                             cell_size=2.0, leaf=0.2)
+    near = RNG.uniform(-5, 5, size=(40, 3)).astype(np.float32)
+    far = (RNG.uniform(-5, 5, size=(40, 3)) + 500.0).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(far), jnp.ones(40, bool))
+    m = voxel_map.insert(m, jnp.asarray(near), jnp.ones(40, bool))
+    stored_before = _stored(m)
+    n_near_before = int((np.linalg.norm(stored_before, axis=1) < 100).sum())
+    m = voxel_map.evict_far(m, jnp.zeros(3), radius=100.0)
+    stored = _stored(m)
+    dist = np.linalg.norm(stored, axis=1)
+    assert (dist <= 100.0).all()                       # all far points gone
+    assert (dist < 100.0).sum() == n_near_before       # no near point lost
+
+
+def _stored(m):
+    pts = np.asarray(m.points).reshape(-1, 3)
+    occ = (np.arange(m.slab_capacity)[None, :]
+           < np.asarray(m.count)[:, None]).reshape(-1)
+    return pts[occ]
+
+
+def test_evicted_slabs_stay_queryable_and_insertable():
+    m = voxel_map.create_map(table_size=8, slab_capacity=64,
+                             cell_size=2.0, leaf=0.2)
+    near = RNG.uniform(-3, 3, size=(30, 3)).astype(np.float32)
+    far = (RNG.uniform(-3, 3, size=(30, 3)) + 300.0).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(far), jnp.ones(30, bool))
+    m = voxel_map.insert(m, jnp.asarray(near), jnp.ones(30, bool))
+    m = voxel_map.evict_far(m, jnp.zeros(3), radius=100.0)
+    # near survivors answer queries
+    _, _, valid = voxel_map.query_knn(m, jnp.asarray(near[:8]),
+                                      jnp.ones(8, bool), k=1)
+    assert bool(np.asarray(valid).any())
+    # compacted slabs accept new inserts and dedup still works (leaf keys
+    # beyond the compacted count were invalidated)
+    m2 = voxel_map.insert(m, jnp.asarray(near), jnp.ones(30, bool))
+    assert int(m2.total_points()) == int(m.total_points())  # all dups
+    m3 = voxel_map.insert(m, jnp.asarray(far[:10]), jnp.ones(10, bool))
+    assert int(m3.total_points()) > int(m.total_points())
