@@ -196,7 +196,17 @@ def _chain_cost(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
 def _assemble_chain(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
                     N: int, rel_val, rel_jac, gps_val, gps_jac):
     """Weighted GN normal equations of the chain factors as block-tridiag
-    (D (N,6,6), U (N-1,6,6), rhs b (N,6)), LM-damped."""
+    (D (N,6,6), U (N-1,6,6), rhs b (N,6)), LM-damped.
+
+    SCATTER-FREE by design: chain terms land via static pads, GPS terms via
+    one-hot matmuls. Dynamic-index ``.at[].add`` scatters here were the root
+    cause of the round-1 "distributed solve returns garbage under jit"
+    defect — when the scatter result is sharded to feed the shard_map Schur
+    solve in the same program, XLA's SPMD partitioner corrupts exactly the
+    first row of every shard but the first (scripts/bisect_step4.py shows
+    the pattern; scripts/xla_scatter_shardmap_repro.py documents the hunt).
+    The one-hot form is exact, partitions trivially, and rides the MXU.
+    """
     pi = jax.tree.map(lambda a: a[:-1], poses)
     pj = jax.tree.map(lambda a: a[1:], poses)
     z = jnp.zeros((N - 1, 6))
@@ -212,28 +222,34 @@ def _assemble_chain(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
     (Gi, Gj) = gps_jac(zg, zg, gi, gj, data.gps_xyz, data.gps_frac)
     w_gps = (_huber_w(r_gps, cfg.huber_delta) * data.gps_valid)
 
-    # assemble block-tridiagonal H and rhs
-    D = jnp.zeros((N, 6, 6))
-    U = jnp.zeros((N - 1, 6, 6))   # U[i] couples pose i and i+1
-    b = jnp.zeros((N, 6))
-
     wJi = Ji * w_rel[:, None, None]
     wJj = Jj * w_rel[:, None, None]
-    idx = jnp.arange(N - 1)
-    D = D.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Ji))
-    D = D.at[idx + 1].add(jnp.einsum("nri,nrj->nij", wJj, Jj))
-    U = U.at[idx].add(jnp.einsum("nri,nrj->nij", wJi, Jj))
-    b = b.at[idx].add(jnp.einsum("nri,nr->ni", wJi, r_rel))
-    b = b.at[idx + 1].add(jnp.einsum("nri,nr->ni", wJj, r_rel))
+    # factor n couples poses (n, n+1): its i-block pads onto rows [0, N-1),
+    # its j-block onto rows [1, N) — static concats, no scatter
+    pad_tail = lambda x: jnp.concatenate([x, 0.0 * x[:1]], axis=0)
+    pad_head = lambda x: jnp.concatenate([0.0 * x[:1], x], axis=0)
+    D = pad_tail(jnp.einsum("nri,nrj->nij", wJi, Ji)) \
+        + pad_head(jnp.einsum("nri,nrj->nij", wJj, Jj))
+    U = jnp.einsum("nri,nrj->nij", wJi, Jj)   # U[i] couples pose i and i+1
+    b = pad_tail(jnp.einsum("nri,nr->ni", wJi, r_rel)) \
+        + pad_head(jnp.einsum("nri,nr->ni", wJj, r_rel))
 
     wGi = Gi * w_gps[:, None, None]
     wGj = Gj * w_gps[:, None, None]
     s = data.gps_seg
-    D = D.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gi))
-    D = D.at[s + 1].add(jnp.einsum("mri,mrj->mij", wGj, Gj))
-    U = U.at[s].add(jnp.einsum("mri,mrj->mij", wGi, Gj))
-    b = b.at[s].add(jnp.einsum("mri,mr->mi", wGi, r_gps))
-    b = b.at[s + 1].add(jnp.einsum("mri,mr->mi", wGj, r_gps))
+    oh = jax.nn.one_hot(s, N, dtype=jnp.float32)          # (M, N)
+    oh1 = jax.nn.one_hot(s + 1, N, dtype=jnp.float32)
+    ohU = jax.nn.one_hot(s, N - 1, dtype=jnp.float32)
+    D = D + jnp.einsum("mn,mij->nij", oh,
+                       jnp.einsum("mri,mrj->mij", wGi, Gi))
+    D = D + jnp.einsum("mn,mij->nij", oh1,
+                       jnp.einsum("mri,mrj->mij", wGj, Gj))
+    U = U + jnp.einsum("mn,mij->nij", ohU,
+                       jnp.einsum("mri,mrj->mij", wGi, Gj))
+    b = b + jnp.einsum("mn,mi->ni", oh,
+                       jnp.einsum("mri,mr->mi", wGi, r_gps))
+    b = b + jnp.einsum("mn,mi->ni", oh1,
+                       jnp.einsum("mri,mr->mi", wGj, r_gps))
 
     # LM damping (also fixes the global gauge the GPS ties leave free)
     D = D + 1e-4 * jnp.eye(6)[None, :, :] \
@@ -292,28 +308,25 @@ def optimize_with_loops_distributed(mesh, poses0: Pose, data: PoseGraphData,
     as ONE shard_map program (parallel.distributed_ba.
     distributed_woodbury_solve — see its docstring for why the correction
     must live inside the program). Exact; N must satisfy
-    optimize_distributed's divisibility contract (pad_graph/next_bucket)."""
+    optimize_distributed's divisibility contract (pad_graph/next_bucket).
+
+    The GN loop is a single traced ``lax.scan`` like every other solver —
+    one program, matching the reference's single Ceres solve
+    (gps_fusion.cc:27-97). (A round-1 eager-only workaround lived here; the
+    real defect was scatter-adds in ``_assemble_chain`` being mispartitioned
+    when feeding the shard_map solve — see its docstring. The assembly is
+    now scatter-free and the composed program is correct under jit/scan,
+    pinned by test_distributed_loop_posegraph_matches_single_device.)"""
     from msf_loam_tpu.parallel.distributed_ba import distributed_woodbury_solve
 
-    # NOTE: the iteration loop is UNROLLED and runs EAGERLY (python loop,
-    # no enclosing jit). With this particular GN body, the sharded solve
-    # returns wrong results whenever it is inlined into a LARGER jitted
-    # computation — lax.scan or a plain jit around one step both trigger
-    # it — even though its inputs are bit-correct at the call site (XLA
-    # SPMD partitioning defect; the program passes check_vma and smaller
-    # repros are fine). Only the eager composition is correct;
-    # test_distributed_loop_posegraph_matches_single_device pins it.
-    # The solve runs once at shutdown on a small graph, so eager dispatch
-    # cost is acceptable.
     return _optimize_loops_impl(
         poses0, data, loops, cfg, n_iters,
-        functools.partial(distributed_woodbury_solve, mesh), unroll=True)
+        functools.partial(distributed_woodbury_solve, mesh))
 
 
 def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
                          loops: LoopFactors, cfg: PoseGraphConfig,
-                         n_iters: int, woodbury_solver,
-                         unroll: bool = False) -> PoseGraphResult:
+                         n_iters: int, woodbury_solver) -> PoseGraphResult:
     N = poses0.t.shape[0]
     L = loops.idx_i.shape[0]
     assert L > 0, "pad loops to at least 1 slot (LoopFactors.pad); " \
@@ -341,12 +354,13 @@ def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
                                   rel_val, rel_jac, gps_val, gps_jac)
         r, Li, Lj, w = loop_terms(poses)
 
-        # Loop contributions are built as dense one-hot matmuls, NOT
-        # scatter-adds: an ``at[idx].add`` whose result feeds a shard_map
-        # inside a lax.scan body was observed to mispartition silently
-        # (distributed solve returned garbage; the one-hot form is exact,
-        # tiny (L x N), and rides the MXU). Padded loops have w = 0, so
-        # their one-hot rows contribute nothing.
+        # Loop contributions are dense one-hot matmuls, NOT scatter-adds,
+        # for the same reason _assemble_chain is scatter-free: an
+        # ``at[idx].add`` whose result feeds the shard_map solve in the
+        # same program mispartitions silently (first row of every shard
+        # corrupted — see _assemble_chain's docstring). The one-hot form
+        # is exact, tiny (L x N), and rides the MXU. Padded loops have
+        # w = 0, so their one-hot rows contribute nothing.
         oh_i = jax.nn.one_hot(loops.idx_i, N, dtype=jnp.float32)  # (L, N)
         oh_j = jax.nn.one_hot(loops.idx_j, N, dtype=jnp.float32)
 
@@ -374,12 +388,7 @@ def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
         return chain + jnp.sum(w * jnp.sum(r * r, -1))
 
     initial = total_cost(poses0)
-    if unroll:
-        poses = poses0
-        for _ in range(n_iters):
-            poses, _ = gn_step(poses, None)
-    else:
-        poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
+    poses, _ = jax.lax.scan(gn_step, poses0, None, length=n_iters)
     final = total_cost(poses)
     return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
 

@@ -129,9 +129,11 @@ def test_distributed_loop_posegraph_matches_single_device():
     cfg = PoseGraphConfig()
 
     mesh = mesh_mod.make_mesh(n_map=1, n_data=8)   # 40 -> 8 segments of 5
-    # 6 iterations: enough for convergence on this problem, and the
-    # distributed path runs eagerly per iteration (see the unroll note in
-    # optimize_with_loops_distributed) so iterations are the test's cost
+    # production path: the GN loop is one lax.scan with the shard_map
+    # Schur/Woodbury solve inlined. This composition miscompiled in round 1
+    # (scatter-add assembly mispartitioned at shard boundaries — see
+    # scripts/xla_scatter_shardmap_repro.py); the scatter-free
+    # _assemble_chain fixed it, and this test pins the fix.
     out_d = posegraph.optimize_with_loops_distributed(
         mesh, poses0, data, loops, cfg, n_iters=6)
     out_s = posegraph.optimize_with_loops(poses0, data, loops, cfg,
@@ -141,6 +143,13 @@ def test_distributed_loop_posegraph_matches_single_device():
     drift1 = float(jnp.linalg.norm(out_d.poses.t[-1] - gt.t[-1]))
     drift0 = float(jnp.linalg.norm(poses0.t[-1] - gt.t[-1]))
     assert drift1 < 0.15 * drift0
+
+    # the whole optimization inside one explicit jit must also agree
+    out_j = jax.jit(
+        lambda p, d, l: posegraph.optimize_with_loops_distributed(
+            mesh, p, d, l, cfg, 6))(poses0, data, loops)
+    np.testing.assert_allclose(np.asarray(out_j.poses.t),
+                               np.asarray(out_s.poses.t), atol=5e-3)
 
 
 def test_sharded_pipeline_matches_dense():
