@@ -200,3 +200,77 @@ def match_scan2map_deskew(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     return MappingResult(pose=pose, velocity=vel, n_edge=n_edge,
                          n_plane=n_plane,
                          ok=map_ok & ((n_edge + n_plane) >= 10), cost=cost)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "imu_weight"))
+def match_scan2map_tight(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
+                         scan_corner: PointBatch, scan_surf: PointBatch,
+                         pose0: Pose, velocity0: Array, gravity: Array,
+                         corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
+                         pre_pair, prev_state, cfg: MappingConfig,
+                         imu_weight: float = 1.0) -> MappingResult:
+    """Tightly-coupled scan-to-map GN with the IMU preintegration factor IN
+    the solve and velocity FREE.
+
+    The reference holds velocity constant during the lidar solve and notes
+    the consequence ("todo: drift if not constant",
+    mapping_scan_matcher.cc:93) because Ceres would need the full VINS
+    window machinery to constrain it. Here the exact 15-dim factor between
+    the previous mapped state and the current one
+    (imu.imu_factor.imu_factor_blocks, Jacobians wrt [dpose_j, dv_j]) joins
+    the lidar residuals in one 9-dim GN, so v_j is observable (IMU rows)
+    while the lidar rows pin the pose — the measured A/B for the
+    reference's todo.
+    """
+    from msf_loam_tpu.core.se3 import quat_rotate, quat_to_matrix
+    from msf_loam_tpu.imu import imu_factor as imu_factor_mod
+
+    pose = pose0
+    vel = velocity0
+    n_edge = jnp.float32(0.0)
+    n_plane = jnp.float32(0.0)
+    cost = jnp.float32(0.0)
+
+    map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
+             (surf_map.total_points() > cfg.min_map_surf)
+
+    def deskewed_world(pb: PointBatch, dk: icp.DeskewTerms, p: Pose, v: Array):
+        R = quat_to_matrix(p.q)
+        local = quat_rotate(dk.delta_q, pb.xyz) + dk.delta_p
+        dt = dk.dt[:, None]
+        return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
+
+    for _ in range(cfg.outer_rounds):
+        cw = deskewed_world(scan_corner, corner_dk, pose, vel)
+        sw = deskewed_world(scan_surf, surf_dk, pose, vel)
+        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
+                          cfg, corner_world=cw, surf_world=sw)
+        n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
+        n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
+
+        def build(p, v):
+            eb = icp.edge_residuals_deskew(p, v, corr.edge_points, corr.edge_c,
+                                           corr.edge_n, corr.edge_valid,
+                                           corner_dk)
+            pb = icp.plane_residuals_deskew(p, v, corr.plane_points,
+                                            corr.plane_c, corr.plane_n,
+                                            corr.plane_valid, surf_dk)
+            state_j = imu_factor_mod.ImuState(p, v, prev_state.ba,
+                                              prev_state.bg)
+            ib = imu_factor_mod.imu_factor_blocks(pre_pair, prev_state,
+                                                  state_j, gravity)
+            return [eb, pb, ib], [gn.huber_weights(eb, cfg.huber_delta),
+                                  gn.huber_weights(pb, cfg.huber_delta),
+                                  jnp.full((1,), imu_weight, jnp.float32)]
+
+        out = gn.gauss_newton(build, pose, vel, n_iters=cfg.gn_iterations,
+                              state_dim=9)
+        ok_round = map_ok & ((n_edge + n_plane) >= 10)
+        pose = jax.tree.map(lambda new, old: jnp.where(ok_round, new, old),
+                            out.pose, pose)
+        vel = jnp.where(ok_round, out.velocity, vel)
+        cost = out.cost
+
+    return MappingResult(pose=pose, velocity=vel, n_edge=n_edge,
+                         n_plane=n_plane,
+                         ok=map_ok & ((n_edge + n_plane) >= 10), cost=cost)

@@ -185,26 +185,36 @@ def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
     corner_dk = deskew_mod.deskew_terms(pre_scan, corner_ds.rel_time, gravity)
     surf_dk = deskew_mod.deskew_terms(pre_scan, surf_ds.rel_time, gravity)
 
-    mres = mapping.match_scan2map_deskew(
-        corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
-        gravity, corner_dk, surf_dk, mc)
+    if ic.tight_coupling:
+        mres = mapping.match_scan2map_tight(
+            corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
+            gravity, corner_dk, surf_dk, pre_pair, prev_state, mc,
+            imu_weight=ic.imu_factor_weight)
+    else:
+        mres = mapping.match_scan2map_deskew(
+            corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
+            gravity, corner_dk, surf_dk, mc)
     guess = pose_o2m.compose(pose_odom)
     pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
                             mres.pose, guess)
     pose_o2m = pose_map.compose(pose_odom.inverse())
+    # tight mode refines velocity in the solve; fall back to the IMU
+    # prediction when the solve was skipped (degenerate map)
+    vel = jnp.where(mres.ok, mres.velocity, pred.v) if ic.tight_coupling \
+        else pred.v
 
     # full deskew (velocity+gravity) before insertion (laser_mapping.cc:197-211)
     corner_fix = deskew_mod.undistort_full(corner_ds, pre_scan, pose_map,
-                                           pred.v, gravity)
+                                           vel, gravity)
     surf_fix = deskew_mod.undistort_full(surf_ds, pre_scan, pose_map,
-                                         pred.v, gravity)
+                                         vel, gravity)
     cw = corner_fix.transform(pose_map)
     sw = surf_fix.transform(pose_map)
     corner_map = voxel_map.insert(corner_map, cw.xyz, cw.mask)
     surf_map = voxel_map.insert(surf_map, sw.xyz, sw.mask)
 
     return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
-            pred.v, odo.n_correspondences, odo.ok | is_first, scan)
+            vel, odo.n_correspondences, odo.ok | is_first, scan)
 
 
 class SlamPipeline:
@@ -351,10 +361,19 @@ class SlamPipeline:
                     pre_scan, corner_ds.rel_time, self.gravity)
                 surf_dk = deskew_mod.deskew_terms(
                     pre_scan, surf_ds.rel_time, self.gravity)
-                mres = mapping.match_scan2map_deskew(
-                    self.corner_map, self.surf_map, corner_ds, surf_ds,
-                    pred.pose, self.velocity, self.gravity,
-                    corner_dk, surf_dk, cfg.mapping)
+                if cfg.imu.tight_coupling:
+                    mres = mapping.match_scan2map_tight(
+                        self.corner_map, self.surf_map, corner_ds, surf_ds,
+                        pred.pose, self.velocity, self.gravity,
+                        corner_dk, surf_dk, pre_pair, prev_state,
+                        cfg.mapping, imu_weight=cfg.imu.imu_factor_weight)
+                    if bool(mres.ok):
+                        self.velocity = mres.velocity
+                else:
+                    mres = mapping.match_scan2map_deskew(
+                        self.corner_map, self.surf_map, corner_ds, surf_ds,
+                        pred.pose, self.velocity, self.gravity,
+                        corner_dk, surf_dk, cfg.mapping)
             else:
                 mres = mapping.match_scan2map(
                     self.corner_map, self.surf_map, corner_ds, surf_ds,

@@ -210,3 +210,92 @@ def test_imu_buffer_window():
     assert w.valid.sum() > 0
     # total window duration == end - start (phony boundary samples)
     np.testing.assert_allclose(w.dts[w.valid].sum(), 0.1, atol=1e-6)
+
+
+def test_imu_factor_full_jacobians():
+    """FD-verify ALL four analytic blocks of the full IMU factor
+    (imu_factor.cc eq46-49): pose_i, speedbias_i, pose_j, speedbias_j,
+    including every bias row."""
+    import jax
+
+    dts, accs, gyrs, gt = _simulate_imu(
+        40, 0.0025, np.array([0.4, -0.2, 0.1]), np.array([0.1, 0.3, -0.2]))
+    pre = _preintegrate(dts, accs, gyrs)
+
+    rng = np.random.default_rng(11)
+    state_i = imu_factor.ImuState(
+        pose=Pose(t=jnp.asarray(rng.normal(size=3) * 0.3, jnp.float32),
+                  q=quat_normalize(jnp.asarray(
+                      [1.0] + list(rng.normal(size=3) * 0.1), jnp.float32))),
+        v=jnp.asarray(rng.normal(size=3) * 0.5, jnp.float32),
+        ba=jnp.asarray(rng.normal(size=3) * 0.02, jnp.float32),
+        bg=jnp.asarray(rng.normal(size=3) * 0.01, jnp.float32))
+    state_j = imu_factor.ImuState(
+        pose=Pose(t=jnp.asarray(gt["p"] + rng.normal(size=3) * 0.05,
+                                jnp.float32),
+                  q=quat_normalize(jnp.asarray(gt["q"], jnp.float32))),
+        v=jnp.asarray(gt["v"] + rng.normal(size=3) * 0.05, jnp.float32),
+        ba=jnp.asarray(rng.normal(size=3) * 0.02, jnp.float32),
+        bg=jnp.asarray(rng.normal(size=3) * 0.01, jnp.float32))
+    grav = jnp.asarray(G, jnp.float32)
+
+    def residual_of(delta):
+        """delta (30,) retracts both states along the factor's column
+        layout: [dpose_i, dv/dba/dbg_i, dpose_j, dv/dba/dbg_j]."""
+        si = imu_factor.ImuState(
+            pose=state_i.pose.retract(delta[0:6]),
+            v=state_i.v + delta[6:9], ba=state_i.ba + delta[9:12],
+            bg=state_i.bg + delta[12:15])
+        sj = imu_factor.ImuState(
+            pose=state_j.pose.retract(delta[15:21]),
+            v=state_j.v + delta[21:24], ba=state_j.ba + delta[24:27],
+            bg=state_j.bg + delta[27:30])
+        r, _ = imu_factor.imu_factor_full(pre, si, sj, grav, info_scale=1.0)
+        return r
+
+    r0, J = imu_factor.imu_factor_full(pre, state_i, state_j, grav,
+                                       info_scale=1.0)
+    # float64 FD on the float32 function: central differences
+    J_fd = np.zeros((15, 30))
+    eps = 1e-3
+    for k in range(30):
+        d = np.zeros(30, np.float32)
+        d[k] = eps
+        rp = np.asarray(residual_of(jnp.asarray(d)))
+        rm = np.asarray(residual_of(jnp.asarray(-d)))
+        J_fd[:, k] = (rp - rm) / (2 * eps)
+
+    J = np.asarray(J)
+    blocks = {"pose_i": (slice(0, 6),), "speedbias_i": (slice(6, 15),),
+              "pose_j": (slice(15, 21),), "speedbias_j": (slice(21, 30),)}
+    scale = max(1.0, np.abs(J_fd).max())
+    for name, (cols,) in blocks.items():
+        err = np.abs(J[:, cols] - J_fd[:, cols]).max()
+        # bias-correction second-order terms + float32 FD noise
+        assert err / scale < 5e-3, (name, err, scale)
+
+
+def test_imu_factor_full_matches_presolve_blocks():
+    """The pose_j / v_j columns of the full factor must equal the reduced
+    pre-solve factor's Jacobian (same math, different packing)."""
+    dts, accs, gyrs, gt = _simulate_imu(
+        30, 0.0025, np.array([0.2, 0.1, -0.1]), np.array([0.0, 0.1, 0.2]))
+    pre = _preintegrate(dts, accs, gyrs)
+    state_i = imu_factor.ImuState.zero()
+    state_j = imu_factor.ImuState(
+        pose=Pose(t=jnp.asarray(gt["p"], jnp.float32),
+                  q=quat_normalize(jnp.asarray(gt["q"], jnp.float32))),
+        v=jnp.asarray(gt["v"], jnp.float32),
+        ba=jnp.zeros(3), bg=jnp.zeros(3))
+    grav = jnp.asarray(G, jnp.float32)
+
+    blocks = imu_factor.imu_factor_blocks(pre, state_i, state_j, grav)
+    r_full, J_full = imu_factor.imu_factor_full(pre, state_i, state_j, grav)
+    np.testing.assert_allclose(np.asarray(blocks.r[0]), np.asarray(r_full),
+                               rtol=1e-5, atol=1e-6)
+    # reduced packs [dpose_j(6), dv_j(3)] = full cols [15:21, 21:24]
+    J_red = np.asarray(blocks.J[0])
+    np.testing.assert_allclose(J_red[:, 0:6], np.asarray(J_full[:, 15:21]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(J_red[:, 6:9], np.asarray(J_full[:, 21:24]),
+                               rtol=1e-5, atol=1e-6)
