@@ -47,6 +47,58 @@ def _quat_wxyz_to_R(q: np.ndarray) -> np.ndarray:
     return R
 
 
+KITTI_LENGTHS = (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0)
+
+
+def kitti_drift(est_t: np.ndarray, gt_t: np.ndarray,
+                est_R: np.ndarray, gt_R: np.ndarray,
+                lengths=KITTI_LENGTHS, step: int = 10) -> dict:
+    """KITTI odometry drift metric: average translation error (%) and
+    rotation error (deg/100 m) of relative poses over trajectory segments
+    of fixed arclengths, the devkit's evaluate_odometry convention.
+
+    For each start frame (every ``step``) and each segment length L, the
+    pose error is inv(delta_gt) @ delta_est where delta = inv(T_i) @ T_j
+    and j is the first frame at arclength >= s_i + L.
+    """
+    n = min(len(est_t), len(gt_t))
+    dist = np.concatenate(
+        [[0.0], np.cumsum(np.linalg.norm(np.diff(gt_t[:n], axis=0), axis=1))])
+    t_err, r_err, cnt = {}, {}, {}
+    for i in range(0, n, step):
+        for L in lengths:
+            j = int(np.searchsorted(dist, dist[i] + L))
+            if j >= n:
+                break
+            dR_gt = gt_R[i].T @ gt_R[j]
+            dt_gt = gt_R[i].T @ (gt_t[j] - gt_t[i])
+            dR_e = est_R[i].T @ est_R[j]
+            dt_e = est_R[i].T @ (est_t[j] - est_t[i])
+            E_R = dR_gt.T @ dR_e
+            E_t = dR_gt.T @ (dt_e - dt_gt)
+            ang = np.arccos(np.clip((np.trace(E_R) - 1.0) / 2.0, -1.0, 1.0))
+            t_err[L] = t_err.get(L, 0.0) + np.linalg.norm(E_t) / L
+            r_err[L] = r_err.get(L, 0.0) + ang / L
+            cnt[L] = cnt.get(L, 0) + 1
+    if not cnt:
+        return {"t_pct": None, "r_deg_per_100m": None, "segments": 0,
+                "per_length": {}}
+    per_length = {
+        int(L): {"t_pct": round(100.0 * t_err[L] / cnt[L], 3),
+                 "r_deg_per_100m": round(
+                     np.degrees(r_err[L] / cnt[L]) * 100.0, 4),
+                 "n": cnt[L]}
+        for L in cnt}
+    tot = sum(cnt.values())
+    return {
+        "t_pct": round(100.0 * sum(t_err.values()) / tot, 3),
+        "r_deg_per_100m": round(
+            np.degrees(sum(r_err.values()) / tot) * 100.0, 4),
+        "segments": tot,
+        "per_length": per_length,
+    }
+
+
 def rpe_rot_deg(est_R: np.ndarray, gt_R: np.ndarray, delta: int = 10) -> float:
     """Relative rotation error RMSE (degrees) over a frame delta: the
     angle of (gt_i^T gt_j)^T (est_i^T est_j)."""
@@ -113,6 +165,10 @@ def main(argv=None) -> int:
         rot_val = rpe_rot_deg(est_R[:n], gt_R[:n], args.rpe_delta)
         out[f"rpe_{args.rpe_delta}_rot_deg"] = (
             None if np.isnan(rot_val) else round(rot_val, 3))
+        drift = kitti_drift(est_t, gt_t, est_R[:n], gt_R[:n])
+        if drift["segments"]:
+            out["kitti_t_pct"] = drift["t_pct"]
+            out["kitti_r_deg_per_100m"] = drift["r_deg_per_100m"]
     print(json.dumps(out))
     return 0
 

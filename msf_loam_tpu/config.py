@@ -30,6 +30,15 @@ class FeatureConfig:
     neighbor_gap_sq: float = 0.05      # suppression break gap^2 (msf_loam_node.cc:293)
     edge_margin: int = 5               # skip first/last 5 pts per ring (msf_loam_node.cc:192-194)
     less_flat_leaf: float = 0.2        # VoxelGrid leaf (msf_loam_node.cc:121)
+    # occluded-boundary / parallel-beam pick rejection (LOAM RSS'14 §5.1;
+    # absent from the A-LOAM-derived reference — without it, street-scene
+    # occlusion veils bias the mapping solve along the travel direction)
+    occlusion_gap: float = 0.3         # adjacent-range jump marking a veil (m)
+    parallel_frac: float = 0.02        # both-neighbor range diff vs range
+    # corner picks must also beat corner_gate_factor x the sector's
+    # smooth-population mean curvature (noise floor): sectors that see only
+    # smooth ground pick no "edges" from range noise
+    corner_gate_factor: float = 10.0
     # --- static-shape budgets for the TPU arrays ---
     max_points_per_ring: int = 2048    # ring buffer width (VLP-16 ~1800/rev @10Hz)
     max_less_flat: int = 8192          # cap on downsampled less-flat points
@@ -56,6 +65,15 @@ class MappingConfig:
     plane_resolution: float = 0.4      # mapping_plane_resolution (laser_mapping.cc:62)
     knn: int = 5                       # 5-NN (mapping_scan_matcher.cc:125,195)
     knn_dist_sq_max: float = 1.0       # gate dist^2[4] < 1.0 (mapping_scan_matcher.cc:128,198)
+    # wide-neighborhood plane fallback: where the strict 5-NN surf
+    # neighborhood is a degenerate ring arc (anisotropic scan density —
+    # floor/ceiling grazed along the ring), refit on up to knn_wide
+    # candidates from the same 8-cell gather at up to cell_size radius.
+    # Restores out-of-plane (z) observability the reference silently lacks
+    # (its 5-NN + residual check accepts collinear fits with garbage
+    # normals, mapping_scan_matcher.cc:198-220).
+    plane_fallback: bool = True
+    knn_wide: int = 16
     line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
     plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
     outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)

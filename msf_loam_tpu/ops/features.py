@@ -72,6 +72,42 @@ def assign_sectors(eligible: Array, n_valid: Array, cfg: FeatureConfig) -> Array
     return jnp.where(eligible, sector, -1).astype(jnp.int32)
 
 
+def unreliable_mask(xyz: Array, mask: Array, cfg: FeatureConfig) -> Array:
+    """Occluded-boundary ("veil") and parallel-beam rejection.
+
+    Returns (R, W) bool — True where a point must NOT be picked as a
+    feature anchor. Two rules from the original LOAM paper (Zhang & Singh
+    RSS'14 §5.1; the A-LOAM-derived reference omits them, but without them
+    occlusion boundaries in street scenes — rays grazing a building edge
+    onto the surface behind — produce edge points whose 3D position moves
+    WITH the sensor and systematically bias the scan-to-map solve backward
+    along the travel direction):
+
+    * occlusion: if the next azimuth-adjacent range is closer by more than
+      ``occlusion_gap``, the far-side run (the point and its 5 precursors /
+      successors) sits on a possibly-occluded grazing boundary;
+    * parallel beam: both adjacent ranges differing by more than
+      ``parallel_frac`` x range means the beam is nearly parallel to the
+      surface and the return is unstable.
+    """
+    r = jnp.where(mask, jnp.linalg.norm(xyz, axis=-1), 0.0)     # (R, W)
+    r_next = jnp.roll(r, -1, axis=1)
+    both_valid = mask & jnp.roll(mask, -1, axis=1)
+    far_here = both_valid & (r - r_next > cfg.occlusion_gap)    # i is far side
+    far_next = both_valid & (r_next - r > cfg.occlusion_gap)    # i+1.. far side
+    block = jnp.zeros_like(mask)
+    for j in range(0, cfg.edge_margin + 1):
+        block = block | jnp.roll(far_here, -j, axis=1)          # i-5 .. i
+    for j in range(1, cfg.edge_margin + 2):
+        block = block | jnp.roll(far_next, j, axis=1)           # i+1 .. i+6
+    d_prev = jnp.abs(jnp.roll(r, 1, axis=1) - r)
+    d_next = jnp.abs(r_next - r)
+    parallel = (d_prev > cfg.parallel_frac * r) & \
+               (d_next > cfg.parallel_frac * r) & mask & \
+               jnp.roll(mask, 1, axis=1) & jnp.roll(mask, -1, axis=1)
+    return block | parallel
+
+
 def _gap_sq(xyz: Array) -> Array:
     """g[i] = ||x[i+1] - x[i]||^2 along the ring (last column is huge)."""
     d = jnp.roll(xyz, -1, axis=1) - xyz
@@ -234,18 +270,39 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     sector = assign_sectors(eligible, n_valid, cfg)
     gap = _gap_sq(ring_image.xyz)
 
+    # pick anchors must avoid occlusion veils / parallel beams; the dense
+    # less-flat cloud keeps them (they are real points on the far surface)
+    pickable = eligible & ~unreliable_mask(ring_image.xyz, ring_image.mask,
+                                           cfg)
+
+    # Sector-adaptive corner gate: a corner pick must beat BOTH the absolute
+    # threshold (reference, msf_loam_node.cc:275) and a multiple of the
+    # sector's smooth-population mean curvature (its noise floor). On
+    # ground-dominated rings (street scenes) the per-sector top-k otherwise
+    # has no real edge to pick and promotes pure range-noise spikes — 80% of
+    # the corner budget became ground noise and biased the mapping solve.
+    S_oh = (sector[:, :, None] == jnp.arange(S)[None, None, :])
+    smooth = eligible & (curv < cfg.curvature_threshold)
+    w_sm = (S_oh & smooth[:, :, None]).astype(jnp.float32)
+    sec_mean = (jnp.einsum("rws,rw->rs", w_sm, curv)
+                / jnp.maximum(jnp.sum(w_sm, axis=1), 1.0))        # (R, S)
+    gate_rs = jnp.maximum(cfg.curvature_threshold,
+                          cfg.corner_gate_factor * sec_mean)
+    corner_gate_arr = jnp.take_along_axis(
+        gate_rs, jnp.maximum(sector, 0), axis=1)                  # (R, W)
+
     # corner picks (max curvature, > threshold): the sharp picks stay
     # exact single-pick rounds (they anchor the edge factors); the bulk
     # less-sharp picks batch up in top-6 rounds
-    corner_gate = lambda c: c > cfg.curvature_threshold
+    corner_gate = lambda c: c > corner_gate_arr
     sharp_picks, suppressed = _pick_rounds(
-        curv, eligible, sector, gap, cfg,
+        curv, pickable, sector, gap, cfg,
         n_total=cfg.sharp_per_sector, maximize=True,
         curv_gate=corner_gate, picks_per_round=1,
     )
     n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
     rest_picks, suppressed = _pick_rounds(
-        curv, eligible, sector, gap, cfg,
+        curv, pickable, sector, gap, cfg,
         n_total=n_rest, maximize=True, curv_gate=corner_gate,
         picks_per_round=6, suppressed0=suppressed,
     )
@@ -255,7 +312,7 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     # odometry rotation accuracy — the 4 flat anchors per sector carry the
     # plane constraints; keep them exact.)
     flat_picks, _ = _pick_rounds(
-        curv, eligible, sector, gap, cfg,
+        curv, pickable, sector, gap, cfg,
         n_total=cfg.flat_per_sector, maximize=False,
         curv_gate=lambda c: c < cfg.curvature_threshold,
         picks_per_round=1, suppressed0=suppressed,

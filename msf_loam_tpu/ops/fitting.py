@@ -65,10 +65,19 @@ def eigh3x3(A: Array) -> Tuple[Array, Array]:
         fallback = jnp.broadcast_to(eye[0], v.shape)
         return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-30), fallback)
 
+    # Compute the two EXTREME eigenvectors directly and derive the middle
+    # one by cross product. (Deriving v2 = v0 x v1 instead is unsound: a
+    # plane patch with isotropic in-plane spread has w0 ~ w1, both direct
+    # solves degenerate to the e_x fallback, and the cross product returns
+    # a ZERO normal whose plane residuals are trivially zero — a fit that
+    # passes every downstream gate. The extreme pair is safe: w0 ~ w1
+    # still leaves (A - w0)(A - w1) rank-1 toward v2, and w1 ~ w2 — the
+    # collinear case where v2 is genuinely ambiguous — is rejected by the
+    # spread/eig-ratio gates.)
     v0 = eigvec(w[..., 0], w[..., 1], w[..., 2])
-    v1 = eigvec(w[..., 1], w[..., 0], w[..., 2])
-    v2 = jnp.cross(v0, v1)
-    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    v2 = eigvec(w[..., 2], w[..., 0], w[..., 1])
+    v1 = jnp.cross(v2, v0)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
     V = jnp.stack([v0, v1, v2], axis=-1)
     return w, V
 
@@ -108,30 +117,87 @@ class PlaneFit(NamedTuple):
 
 
 def fit_planes(neighbors: Array, neighbor_valid: Array,
-               tol: float = 0.2) -> PlaneFit:
+               tol: float = 0.2, cond_frac: float = 0.05) -> PlaneFit:
     """Fit a plane n.x = -1 per K-neighborhood via normal equations.
 
     Mirrors ``mapping_scan_matcher.cc:198-220``: solve A n = -1, normalize,
     then require every neighbor within ``tol`` of the plane.
+
+    Additionally requires the centered scatter to genuinely span 2D:
+    lambda_mid > ``cond_frac`` * lambda_max. A near-collinear cluster (one
+    lidar ring grazing the ground at range) fits a zero-residual "plane"
+    whose normal is arbitrary — those tilted ground normals injected large
+    spurious along-track gradients into the mapping solve. The reference's
+    QR fit + 0.2 residual check (mapping_scan_matcher.cc:216) has the same
+    blind spot; this gate closes it.
     """
     m = neighbor_valid[..., None].astype(neighbors.dtype)
-    A = neighbors * m
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    Atb = -jnp.sum(A, axis=-2)  # A^T (-1)
-    # 3x3 Cramer solve with adjugate
-    n_raw, det = _solve3x3(AtA, Atb)
-    nn = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    normal = n_raw / jnp.maximum(nn, 1e-30)
     cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)
-    center = jnp.sum(A, axis=-2) / cnt
+    center = jnp.sum(neighbors * m, axis=-2) / cnt
+    # Total-least-squares on CENTERED coordinates: normal = eigenvector of
+    # the smallest scatter eigenvalue. The reference's n.x = -1 normal-
+    # equation solve on absolute coordinates (mapping_scan_matcher.cc:
+    # 198-214) is float64-safe under Ceres but catastrophically ill-
+    # conditioned in float32 for tight clusters far from the origin
+    # (cond(AtA) ~ (range/spread)^2 squared again by the adjugate solve):
+    # at 30 m it produced arbitrary tilted ground normals that injected
+    # spurious along-track gradients into the mapping GN.
+    centered = (neighbors - center[..., None, :]) * m
+    scatter = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    w, V = eigh3x3(scatter)
+    normal = V[..., :, 2]  # smallest-eigenvalue direction
     resid = jnp.abs(
         jnp.einsum("...i,...ki->...k", normal, neighbors - center[..., None, :])
     )
     resid = jnp.where(neighbor_valid, resid, 0.0)
+    spread_ok = w[..., 1] > cond_frac * w[..., 0]
     all_valid = jnp.all(neighbor_valid, axis=-1)
-    valid = all_valid & jnp.all(resid <= tol, axis=-1) & (jnp.abs(det) > 1e-12) \
-        & (nn[..., 0] > 1e-12)
+    valid = all_valid & jnp.all(resid <= tol, axis=-1) & spread_ok
     return PlaneFit(center, normal, valid)
+
+
+def fit_planes_two_scale(near: Array, near_valid: Array,
+                         wide: Array, wide_valid: Array,
+                         tol: float = 0.2, cond_frac: float = 0.05,
+                         min_wide: int = 5) -> PlaneFit:
+    """Strict 5-NN plane fit with a wide-neighborhood TLS fallback.
+
+    Where the strict fit fails (typically the spread gate: the 5-NN
+    neighborhood is a single collinear ring arc — floor/ceiling grazed
+    along the scan ring), refit on the wide candidate set (more points,
+    larger radius, spanning adjacent ring arcs). The fallback is accepted
+    only if (a) it has >= ``min_wide`` points and passes the same
+    tol/spread gates, and (b) every valid NEAR neighbor also lies within
+    ``tol`` of the fallback plane — the local arc must be ON the plane,
+    which rejects planes polluted by hash-collision aliens or unrelated
+    surfaces in the wide set.
+    """
+    near_fit = fit_planes(near, near_valid, tol, cond_frac)
+
+    m = wide_valid[..., None].astype(wide.dtype)
+    cnt = jnp.sum(m, axis=-2)
+    center = jnp.sum(wide * m, axis=-2) / jnp.maximum(cnt, 1.0)
+    centered = (wide - center[..., None, :]) * m
+    scatter = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    w, V = eigh3x3(scatter)
+    normal = V[..., :, 2]
+    resid_w = jnp.abs(jnp.einsum(
+        "...i,...ki->...k", normal, wide - center[..., None, :]))
+    resid_w = jnp.where(wide_valid, resid_w, 0.0)
+    resid_near = jnp.abs(jnp.einsum(
+        "...i,...ki->...k", normal, near - center[..., None, :]))
+    resid_near = jnp.where(near_valid, resid_near, 0.0)
+    fb_ok = ((cnt[..., 0] >= min_wide)
+             & (w[..., 1] > cond_frac * w[..., 0])
+             & jnp.all(resid_w <= tol, axis=-1)
+             & jnp.all(resid_near <= tol, axis=-1))
+
+    use_fb = ~near_fit.valid & fb_ok
+    return PlaneFit(
+        center=jnp.where(use_fb[..., None], center, near_fit.center),
+        normal=jnp.where(use_fb[..., None], normal, near_fit.normal),
+        valid=near_fit.valid | use_fb,
+    )
 
 
 def _solve3x3(A: Array, b: Array) -> Tuple[Array, Array]:

@@ -204,3 +204,74 @@ def sharded_query_knn(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
     fn = _query_program(mesh, H, h_local, k)
     return fn(vmap_state.points, vmap_state.leaf_key, vmap_state.count,
               vmap_state.cell_size, vmap_state.leaf, query, query_mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _query2_program(mesh: Mesh, H: int, h_local: int, k: int, k2: int):
+    """Two-radius sharded query (voxel_map.query_knn_2r semantics): each
+    shard returns its strict top-k (radius cell/2) AND wide top-k2 (radius
+    cell) from one 8-cell gather; both candidate sets merge replicated
+    outside the shard_map. Same associativity argument as _query_program."""
+    n_shards = mesh.shape["map"]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("map", None, None), P("map", None), P("map"),
+                  P(), P(), P()),
+        out_specs=(P("map", None, None), P("map", None, None, None),
+                   P("map", None, None), P("map", None, None, None)),
+    )
+    def _local_query(points, leaf_key, count, cell_size, leaf, q):
+        shard_id = jax.lax.axis_index("map")
+        Q = q.shape[0]
+        P_ = points.shape[1]
+        ncells = neighbor_cells8(q, cell_size)
+        slots = _hash_cells(ncells, H)
+        own = (slots >= shard_id * h_local) & (slots < (shard_id + 1) * h_local)
+        lslots = jnp.clip(slots - shard_id * h_local, 0, h_local - 1)
+        cand = points[lslots]
+        occup = (jnp.arange(P_)[None, None, :] < count[lslots][:, :, None]) \
+            & own[:, :, None]
+        diff = cand - q[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        flat = cand.reshape(Q, -1, 3)
+        keep = occup & (d2 <= (cell_size * 0.5) ** 2)
+        keep_w = occup & (d2 <= cell_size ** 2)
+        d2s = jnp.where(keep, d2, jnp.float32(3e38)).reshape(Q, -1)
+        d2w = jnp.where(keep_w, d2, jnp.float32(3e38)).reshape(Q, -1)
+        neg_top, arg = jax.lax.top_k(-d2s, k)
+        xyz_s = jnp.take_along_axis(flat, arg[..., None], axis=1)
+        neg_w, arg_w = jax.lax.top_k(-d2w, k2)
+        xyz_w = jnp.take_along_axis(flat, arg_w[..., None], axis=1)
+        return -neg_top[None], xyz_s[None], -neg_w[None], xyz_w[None]
+
+    @jax.jit
+    def _query(points, leaf_key, count, cell_size, leaf, q, qmask):
+        Q = q.shape[0]
+        s_d2, s_xyz, w_d2, w_xyz = _local_query(points, leaf_key, count,
+                                                cell_size, leaf, q)
+
+        def merge(all_d2, all_xyz, kk):
+            d2m = jnp.moveaxis(all_d2, 0, 1).reshape(Q, n_shards * kk)
+            xyzm = jnp.moveaxis(all_xyz, 0, 1).reshape(Q, n_shards * kk, 3)
+            neg_top, arg = jax.lax.top_k(-d2m, kk)
+            top_d2 = -neg_top
+            top_xyz = jnp.take_along_axis(xyzm, arg[..., None], axis=1)
+            return top_d2, top_xyz, (top_d2 < 1e37) & qmask[:, None]
+
+        d2, xyz, valid = merge(s_d2, s_xyz, k)
+        d2w, xyzw, validw = merge(w_d2, w_xyz, k2)
+        return d2, xyz, valid, d2w, xyzw, validw
+
+    return _query
+
+
+def sharded_query_knn_2r(mesh: Mesh, vmap_state: VoxelHashMap, query: Array,
+                         query_mask: Array, k: int = 5, k2: int = 16):
+    """Two-radius k-NN against the sharded map (voxel_map.query_knn_2r
+    semantics: strict top-k within cell/2 plus wide top-k2 enrichment)."""
+    H = vmap_state.table_size
+    h_local = H // mesh.shape["map"]
+    fn = _query2_program(mesh, H, h_local, k, k2)
+    return fn(vmap_state.points, vmap_state.leaf_key, vmap_state.count,
+              vmap_state.cell_size, vmap_state.leaf, query, query_mask)

@@ -36,11 +36,15 @@ def _sharded_matcher(mesh: Mesh, cfg: MsfLoamConfig):
     def query_fn(m, xyz, mask, k):
         return sharded_map.sharded_query_knn(mesh, m, xyz, mask, k=k)
 
+    def query2_fn(m, xyz, mask, k, k2):
+        return sharded_map.sharded_query_knn_2r(mesh, m, xyz, mask, k=k,
+                                                k2=k2)
+
     @jax.jit
     def run(cmap, smap, corner_ds, surf_ds, pose0):
         return mapping.match_scan2map_core(
             cmap, smap, corner_ds, surf_ds, pose0, cfg.mapping,
-            query_fn=query_fn)
+            query_fn=query_fn, query2_fn=query2_fn)
 
     return run
 

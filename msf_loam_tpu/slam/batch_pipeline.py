@@ -107,6 +107,39 @@ def _fused_query(vmap_state: VoxelHashMap, H: int, query: Array,
             valid.reshape(B, Q, k))
 
 
+def _fused_query_2r(vmap_state: VoxelHashMap, H: int, query: Array,
+                    query_mask: Array, k: int, k2: int):
+    """Two-radius twin of ``_fused_query`` (voxel_map.query_knn_2r
+    semantics): strict top-k within cell/2 plus wide top-k2 within the
+    full gathered octant, one gather."""
+    B, Q, _ = query.shape
+    P = vmap_state.slab_capacity
+    q = query.reshape(B * Q, 3)
+    ncells = neighbor_cells8(q, vmap_state.cell_size)
+    slots = _hash_cells(ncells, H)
+    offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, Q)
+    slots = slots + offset[:, None]
+
+    cand = vmap_state.points[slots]
+    occup = jnp.arange(P)[None, None, :] < vmap_state.count[slots][:, :, None]
+    diff = cand - q[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    keep = occup & (d2 <= (vmap_state.cell_size * 0.5) ** 2)
+    keep_w = occup & (d2 <= vmap_state.cell_size ** 2)
+    flat = cand.reshape(B * Q, -1, 3)
+    d2s = jnp.where(keep, d2, jnp.float32(3e38)).reshape(B * Q, -1)
+    d2w = jnp.where(keep_w, d2, jnp.float32(3e38)).reshape(B * Q, -1)
+    qm = query_mask.reshape(-1)[:, None]
+
+    def top(dd, kk):
+        neg, arg = jax.lax.top_k(-dd, kk)
+        xyz = jnp.take_along_axis(flat, arg[..., None], axis=1)
+        return (-neg.reshape(B, Q, kk), xyz.reshape(B, Q, kk, 3),
+                ((-neg < 1e37) & qm).reshape(B, Q, kk))
+
+    return top(d2s, k) + top(d2w, k2)
+
+
 def _fused_insert(vmap_state: VoxelHashMap, H: int, xyz: Array,
                   mask: Array) -> VoxelHashMap:
     """Insert (B, N, 3) world points into the fused table (flat scatter).
@@ -138,13 +171,20 @@ def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
         sw = apply_b(pose, surf_ds.xyz)
         d2c, nc_xyz, nc_valid = _fused_query(corner_map, H, cw,
                                              corner_ds.mask, mc.knn)
-        d2s, ns_xyz, ns_valid = _fused_query(surf_map, H, sw,
-                                             surf_ds.mask, mc.knn)
         gate_c = (d2c[..., mc.knn - 1] < mc.knn_dist_sq_max) & corner_ds.mask
         lines = fitting.fit_lines(nc_xyz, nc_valid, mc.line_eig_ratio)
         edge_valid = gate_c & lines.valid
+        if mc.plane_fallback:
+            d2s, ns_xyz, ns_valid, _, nw_xyz, nw_valid = _fused_query_2r(
+                surf_map, H, sw, surf_ds.mask, mc.knn, mc.knn_wide)
+            planes = fitting.fit_planes_two_scale(
+                ns_xyz, ns_valid, nw_xyz, nw_valid, mc.plane_fit_tol,
+                min_wide=mc.knn)
+        else:
+            d2s, ns_xyz, ns_valid = _fused_query(surf_map, H, sw,
+                                                 surf_ds.mask, mc.knn)
+            planes = fitting.fit_planes(ns_xyz, ns_valid, mc.plane_fit_tol)
         gate_s = (d2s[..., mc.knn - 1] < mc.knn_dist_sq_max) & surf_ds.mask
-        planes = fitting.fit_planes(ns_xyz, ns_valid, mc.plane_fit_tol)
         plane_valid = gate_s & planes.valid
 
         n_corr = (jnp.sum(edge_valid, axis=1) + jnp.sum(plane_valid, axis=1))

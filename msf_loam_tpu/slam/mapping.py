@@ -26,6 +26,7 @@ from msf_loam_tpu.core.se3 import Pose
 from msf_loam_tpu.ops import fitting
 from msf_loam_tpu.ops import gauss_newton as gn
 from msf_loam_tpu.ops import icp_residuals as icp
+from msf_loam_tpu.slam import voxel_map as voxel_map_mod
 from msf_loam_tpu.slam.voxel_map import VoxelHashMap, query_knn
 
 Array = jax.Array
@@ -41,16 +42,20 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                cfg: MappingConfig,
                corner_world: Optional[Array] = None,
                surf_world: Optional[Array] = None,
-               query_fn=None) -> MapCorrespondences:
+               query_fn=None, query2_fn=None) -> MapCorrespondences:
     """Find line/plane correspondences for all scan features at once.
 
     corner_world/surf_world override the query positions (used by the
     deskew path where per-point IMU compensation shifts the query).
     ``query_fn(map, xyz, mask, k)`` overrides the kNN backend (the sharded
-    pipeline passes the all-gather-merged multi-device query).
+    pipeline passes the all-gather-merged multi-device query);
+    ``query2_fn(map, xyz, mask, k, k2)`` is its two-radius twin for the
+    wide plane-fallback set (see voxel_map.query_knn_2r).
     """
     if query_fn is None:
         query_fn = query_knn
+    if query2_fn is None:
+        query2_fn = voxel_map_mod.query_knn_2r
     cw = corner_world if corner_world is not None else pose.apply(corner.xyz)
     sw = surf_world if surf_world is not None else pose.apply(surf.xyz)
 
@@ -65,10 +70,18 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     lines = fitting.fit_lines(nc_xyz, nc_valid, cfg.line_eig_ratio)
     edge_valid = gate_c & lines.valid
 
-    # surfs: 5-NN, plane fit + planarity tolerance
-    d2s, ns_xyz, ns_valid = query_fn(surf_map, sw, surf.mask, k=cfg.knn)
+    # surfs: 5-NN plane fit, with a wide-set TLS fallback where the strict
+    # neighborhood is a degenerate ring arc (MappingConfig.plane_fallback)
+    if cfg.plane_fallback:
+        d2s, ns_xyz, ns_valid, _, nw_xyz, nw_valid = query2_fn(
+            surf_map, sw, surf.mask, k=cfg.knn, k2=cfg.knn_wide)
+        planes = fitting.fit_planes_two_scale(
+            ns_xyz, ns_valid, nw_xyz, nw_valid, cfg.plane_fit_tol,
+            min_wide=cfg.knn)
+    else:
+        d2s, ns_xyz, ns_valid = query_fn(surf_map, sw, surf.mask, k=cfg.knn)
+        planes = fitting.fit_planes(ns_xyz, ns_valid, cfg.plane_fit_tol)
     gate_s = (d2s[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & surf.mask
-    planes = fitting.fit_planes(ns_xyz, ns_valid, cfg.plane_fit_tol)
     plane_valid = gate_s & planes.valid
 
     return MapCorrespondences(
@@ -101,9 +114,9 @@ def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
 def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                         scan_corner: PointBatch, scan_surf: PointBatch,
                         pose0: Pose, cfg: MappingConfig,
-                        query_fn=None) -> MappingResult:
-    """Unjitted matcher core; ``query_fn`` swaps the kNN backend (the
-    sharded pipeline passes the multi-device query)."""
+                        query_fn=None, query2_fn=None) -> MappingResult:
+    """Unjitted matcher core; ``query_fn``/``query2_fn`` swap the kNN
+    backend (the sharded pipeline passes the multi-device queries)."""
     pose = pose0
     n_edge = jnp.float32(0.0)
     n_plane = jnp.float32(0.0)
@@ -114,7 +127,7 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
 
     for _ in range(cfg.outer_rounds):
         corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, query_fn=query_fn)
+                          cfg, query_fn=query_fn, query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -144,6 +157,18 @@ def match_scan2map_deskew(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                           pose0: Pose, velocity0: Array, gravity: Array,
                           corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
                           cfg: MappingConfig) -> MappingResult:
+    return match_scan2map_deskew_core(corner_map, surf_map, scan_corner,
+                                      scan_surf, pose0, velocity0, gravity,
+                                      corner_dk, surf_dk, cfg)
+
+
+def match_scan2map_deskew_core(corner_map, surf_map,
+                               scan_corner: PointBatch, scan_surf: PointBatch,
+                               pose0: Pose, velocity0: Array, gravity: Array,
+                               corner_dk: icp.DeskewTerms,
+                               surf_dk: icp.DeskewTerms,
+                               cfg: MappingConfig,
+                               query_fn=None, query2_fn=None) -> MappingResult:
     """Tightly-coupled scan-to-map GN over [pose, velocity] with per-point
     IMU deskew terms (mapping_scan_matcher.cc:109-246 initialized branch).
 
@@ -175,7 +200,8 @@ def match_scan2map_deskew(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
         sw = deskewed_world(scan_surf, surf_dk, pose, vel)
         corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, corner_world=cw, surf_world=sw)
+                          cfg, corner_world=cw, surf_world=sw,
+                          query_fn=query_fn, query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -209,6 +235,20 @@ def match_scan2map_tight(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                          corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
                          pre_pair, prev_state, cfg: MappingConfig,
                          imu_weight: float = 1.0) -> MappingResult:
+    return match_scan2map_tight_core(corner_map, surf_map, scan_corner,
+                                     scan_surf, pose0, velocity0, gravity,
+                                     corner_dk, surf_dk, pre_pair, prev_state,
+                                     cfg, imu_weight)
+
+
+def match_scan2map_tight_core(corner_map, surf_map,
+                              scan_corner: PointBatch, scan_surf: PointBatch,
+                              pose0: Pose, velocity0: Array, gravity: Array,
+                              corner_dk: icp.DeskewTerms,
+                              surf_dk: icp.DeskewTerms,
+                              pre_pair, prev_state, cfg: MappingConfig,
+                              imu_weight: float = 1.0,
+                              query_fn=None, query2_fn=None) -> MappingResult:
     """Tightly-coupled scan-to-map GN with the IMU preintegration factor IN
     the solve and velocity FREE.
 
@@ -244,7 +284,8 @@ def match_scan2map_tight(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
         sw = deskewed_world(scan_surf, surf_dk, pose, vel)
         corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, corner_world=cw, surf_world=sw)
+                          cfg, corner_world=cw, surf_world=sw,
+                          query_fn=query_fn, query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 

@@ -2,8 +2,10 @@
 
 TPU-native redesign of ``OdometryScanMatcher::MatchScan2Scan``
 (``/root/reference/src/slam/local/scan_matching/odometry_scan_matcher.cc:43-285``):
-the per-point KD-tree + ring-window searches become one batched kNN
-(``ops.knn``) followed by masked candidate selection, and the 2x(6-iter)
+the per-point KD-tree + ring-window searches become one exact (N, M)
+distance matrix (a single MXU matmul) with ring-masked argmins — the
+different-ring/same-ring candidate rules applied over ALL reference points,
+exactly like the reference's ordered scan-line walk — and the 2x(6-iter)
 Ceres schedule becomes 2 re-association rounds around a 6-iteration batched
 Gauss-Newton (``ops.gauss_newton``) — all inside one jit.
 
@@ -29,20 +31,26 @@ from msf_loam_tpu.core.pointcloud import PointBatch, ScanFeatures
 from msf_loam_tpu.core.se3 import Pose
 from msf_loam_tpu.ops import gauss_newton as gn
 from msf_loam_tpu.ops import icp_residuals as icp
-from msf_loam_tpu.ops import knn as knn_ops
 
 Array = jax.Array
 
-_K = 8  # kNN candidates fetched per query (selection happens among these)
+def _corr_d2(q_world: Array, query_mask: Array, ref: PointBatch) -> Array:
+    """Exact (N, M) squared query-to-reference distances; invalid pairs +inf.
 
-
-def _knn(q_world, q_mask, ref_xyz, ref_mask):
-    """kNN backend: fused Pallas kernel on TPU, XLA blockwise elsewhere
-    (scan-vs-scan scale, where fused brute force wins — see ops/pallas_knn)."""
-    if jax.devices()[0].platform == "tpu":
-        from msf_loam_tpu.ops.pallas_knn import knn_pallas
-        return knn_pallas(q_world, ref_xyz, ref_mask, k=_K, bq=256, bm=2048)
-    return knn_ops.knn(q_world, q_mask, ref_xyz, ref_mask, k=_K)
+    One (N,3)x(3,M) matmul plus rank-1 norms — MXU work, no top-k cap.
+    A capped kNN is NOT equivalent here: on surfaces grazed along the ring
+    (floor/ceiling) same-ring neighbors are ~2-3 cm apart while the nearest
+    different-ring point is ~1 m away, so any small-K candidate list fills
+    up with same-ring points and the reference's different-ring b/c search
+    (odometry_scan_matcher.cc:95-141,186-232, explicit scan-line walk) finds
+    matches a top-8 never surfaces — measured as an unobservable z axis on
+    corridor/street scenes."""
+    rx = ref.masked_xyz()
+    qn = jnp.sum(q_world * q_world, axis=-1, keepdims=True)
+    rn = jnp.sum(rx * rx, axis=-1)[None, :]
+    d2 = qn + rn - 2.0 * (q_world @ rx.T)
+    bad = ~(query_mask[:, None] & ref.mask[None, :])
+    return jnp.where(bad, jnp.inf, jnp.maximum(d2, 0.0))
 
 
 class EdgeCorrespondences(NamedTuple):
@@ -62,23 +70,20 @@ class PlaneCorrespondences(NamedTuple):
 def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
                               cfg: OdometryConfig) -> EdgeCorrespondences:
     q_world = pose.apply(query.xyz)
-    d2, idx = _knn(q_world, query.mask, ref.masked_xyz(), ref.mask)
-    cand_xyz = knn_ops.gather_neighbors(ref.xyz, idx)            # (N, K, 3)
-    cand_ring = jnp.where(idx >= 0, ref.ring[jnp.maximum(idx, 0)], -1)
+    d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
 
-    a_ok = (d2[:, 0] < cfg.dist_sq_threshold) & query.mask
-    ring_a = cand_ring[:, 0]
+    a_sel = jnp.argmin(d2, axis=1)
+    a_ok = (jnp.min(d2, axis=1) < cfg.dist_sq_threshold) & query.mask
+    ring_a = ref.ring[a_sel]
 
-    # b: nearest candidate on a different, nearby ring
-    diff_ring = (cand_ring != ring_a[:, None]) & (cand_ring >= 0)
-    near_ring = jnp.abs(cand_ring - ring_a[:, None]).astype(jnp.float32) <= cfg.nearby_scan
-    b_mask = diff_ring & near_ring & (d2 < cfg.dist_sq_threshold)
-    b_d2 = jnp.where(b_mask, d2, jnp.inf)
+    # b: nearest point on a different, nearby ring (exact over all of ref)
+    dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
+    b_d2 = jnp.where((dr > 0) & (dr <= cfg.nearby_scan), d2, jnp.inf)
     b_sel = jnp.argmin(b_d2, axis=1)
-    b_ok = jnp.isfinite(jnp.min(b_d2, axis=1))
-    b_xyz = jnp.take_along_axis(cand_xyz, b_sel[:, None, None], axis=1)[:, 0]
+    b_ok = jnp.min(b_d2, axis=1) < cfg.dist_sq_threshold
 
-    a_xyz = cand_xyz[:, 0]
+    a_xyz = ref.xyz[a_sel]
+    b_xyz = ref.xyz[b_sel]
     direction = a_xyz - b_xyz
     nrm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     line_n = direction / jnp.maximum(nrm, 1e-12)
@@ -89,31 +94,28 @@ def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
 def find_plane_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
                                cfg: OdometryConfig) -> PlaneCorrespondences:
     q_world = pose.apply(query.xyz)
-    d2, idx = _knn(q_world, query.mask, ref.masked_xyz(), ref.mask)
-    cand_xyz = knn_ops.gather_neighbors(ref.xyz, idx)
-    cand_ring = jnp.where(idx >= 0, ref.ring[jnp.maximum(idx, 0)], -1)
+    d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
 
-    a_ok = (d2[:, 0] < cfg.dist_sq_threshold) & query.mask
-    ring_a = cand_ring[:, 0]
-    gate = d2 < cfg.dist_sq_threshold
-    not_first = jnp.arange(_K)[None, :] > 0
+    a_sel = jnp.argmin(d2, axis=1)
+    a_ok = (jnp.min(d2, axis=1) < cfg.dist_sq_threshold) & query.mask
+    ring_a = ref.ring[a_sel]
+    same_ring = ref.ring[None, :] == ring_a[:, None]
+    not_a = jnp.arange(d2.shape[1])[None, :] != a_sel[:, None]
 
-    # b: same ring, not the anchor itself
-    b_mask = (cand_ring == ring_a[:, None]) & not_first & gate
-    b_d2 = jnp.where(b_mask, d2, jnp.inf)
+    # b: next-nearest on the SAME ring
+    b_d2 = jnp.where(same_ring & not_a, d2, jnp.inf)
     b_sel = jnp.argmin(b_d2, axis=1)
-    b_ok = jnp.isfinite(jnp.min(b_d2, axis=1))
-    b_xyz = jnp.take_along_axis(cand_xyz, b_sel[:, None, None], axis=1)[:, 0]
+    b_ok = jnp.min(b_d2, axis=1) < cfg.dist_sq_threshold
 
-    # c: different nearby ring
-    c_mask = (cand_ring != ring_a[:, None]) & (cand_ring >= 0) & gate & (
-        jnp.abs(cand_ring - ring_a[:, None]).astype(jnp.float32) <= cfg.nearby_scan)
-    c_d2 = jnp.where(c_mask, d2, jnp.inf)
+    # c: nearest on a different nearby ring
+    dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
+    c_d2 = jnp.where((dr > 0) & (dr <= cfg.nearby_scan), d2, jnp.inf)
     c_sel = jnp.argmin(c_d2, axis=1)
-    c_ok = jnp.isfinite(jnp.min(c_d2, axis=1))
-    c_xyz = jnp.take_along_axis(cand_xyz, c_sel[:, None, None], axis=1)[:, 0]
+    c_ok = jnp.min(c_d2, axis=1) < cfg.dist_sq_threshold
 
-    a_xyz = cand_xyz[:, 0]
+    a_xyz = ref.xyz[a_sel]
+    b_xyz = ref.xyz[b_sel]
+    c_xyz = ref.xyz[c_sel]
     center = (a_xyz + b_xyz + c_xyz) / 3.0
     nvec = jnp.cross(a_xyz - b_xyz, a_xyz - c_xyz)
     nrm = jnp.linalg.norm(nvec, axis=-1, keepdims=True)

@@ -146,6 +146,21 @@ def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
                     pair_dts, pair_accs, pair_gyrs, pair_valid,
                     scan_dts, scan_accs, scan_gyrs, scan_valid,
                     prev_p, prev_q, prev_v, gravity):
+    return lio_frame_core(cfg, corner_map, surf_map, prev_scan, ring_image,
+                          scan_time, pose_c2l, pose_odom, pose_o2m, is_first,
+                          pair_dts, pair_accs, pair_gyrs, pair_valid,
+                          scan_dts, scan_accs, scan_gyrs, scan_valid,
+                          prev_p, prev_q, prev_v, gravity)
+
+
+def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
+                   prev_scan: ScanFeatures, ring_image, scan_time,
+                   pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose,
+                   is_first,
+                   pair_dts, pair_accs, pair_gyrs, pair_valid,
+                   scan_dts, scan_accs, scan_gyrs, scan_valid,
+                   prev_p, prev_q, prev_v, gravity,
+                   query_fn=None, query2_fn=None, insert_fn=None):
     """The tightly-coupled (post-init) frame as ONE device program:
     extraction + scan-to-scan GN + pair/scan preintegration + IMU pre-solve
     + deskew-aware scan-to-map GN + full deskew + insert. The host only
@@ -186,14 +201,16 @@ def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
     surf_dk = deskew_mod.deskew_terms(pre_scan, surf_ds.rel_time, gravity)
 
     if ic.tight_coupling:
-        mres = mapping.match_scan2map_tight(
+        mres = mapping.match_scan2map_tight_core(
             corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
             gravity, corner_dk, surf_dk, pre_pair, prev_state, mc,
-            imu_weight=ic.imu_factor_weight)
+            imu_weight=ic.imu_factor_weight,
+            query_fn=query_fn, query2_fn=query2_fn)
     else:
-        mres = mapping.match_scan2map_deskew(
+        mres = mapping.match_scan2map_deskew_core(
             corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
-            gravity, corner_dk, surf_dk, mc)
+            gravity, corner_dk, surf_dk, mc,
+            query_fn=query_fn, query2_fn=query2_fn)
     guess = pose_o2m.compose(pose_odom)
     pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
                             mres.pose, guess)
@@ -210,8 +227,10 @@ def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
                                          vel, gravity)
     cw = corner_fix.transform(pose_map)
     sw = surf_fix.transform(pose_map)
-    corner_map = voxel_map.insert(corner_map, cw.xyz, cw.mask)
-    surf_map = voxel_map.insert(surf_map, sw.xyz, sw.mask)
+    if insert_fn is None:
+        insert_fn = voxel_map.insert
+    corner_map = insert_fn(corner_map, cw.xyz, cw.mask)
+    surf_map = insert_fn(surf_map, sw.xyz, sw.mask)
 
     return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
             vel, odo.n_correspondences, odo.ok | is_first, scan)

@@ -275,3 +275,53 @@ def query_knn(vmap: VoxelHashMap, query: Array, query_mask: Array,
         cand.reshape(q.shape[0], -1, 3), arg[..., None], axis=1)
     valid = (top_d2 < 1e37) & query_mask[:, None]
     return top_d2, top_xyz, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k2"))
+def query_knn_2r(vmap: VoxelHashMap, query: Array, query_mask: Array,
+                 k: int = 5, k2: int = 16
+                 ) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Two-radius kNN from ONE 8-cell gather: the strict top-k within
+    cell_size/2 (identical to ``query_knn``) plus a top-k2 within the full
+    gathered neighborhood (radius up to cell_size on the octant side).
+
+    The wide set exists because a tight k-NN is blind to anisotropic
+    density: on a surface grazed along the scan ring (floor/ceiling at
+    VLP-16 geometry) the same-ring spacing is centimeters while the nearest
+    cross-ring point is over a meter away — outside the strict radius — so
+    5-NN plane fits degenerate to collinear arcs with arbitrary normals
+    (the reference's 5-NN + 0.2 residual check, mapping_scan_matcher.cc:
+    198-220, has the same blind spot). The wide set feeds a fallback TLS
+    plane fit only where the strict fit fails its spread gate. Coverage
+    beyond cell_size/2 is best-effort (whatever the 8 gathered slabs hold),
+    which is fine for an enrichment set — completeness still only claimed
+    for the strict radius.
+
+    Returns (d2 (Q,k), xyz, valid, d2w (Q,k2), xyzw, validw).
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    q = query.astype(jnp.float32)
+    ncells = neighbor_cells8(q, vmap.cell_size)                  # (Q, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 8)
+
+    cand = vmap.points[slots]                                    # (Q, 8, P, 3)
+    occup = jnp.arange(P)[None, None, :] < vmap.count[slots][:, :, None]
+    diff = cand - q[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    radius_sq = (vmap.cell_size * 0.5) ** 2
+    keep = occup & (d2 <= radius_sq)
+    keep_w = occup & (d2 <= vmap.cell_size ** 2)
+    flat = cand.reshape(q.shape[0], -1, 3)
+    d2s = jnp.where(keep, d2, jnp.float32(3e38)).reshape(q.shape[0], -1)
+    d2w = jnp.where(keep_w, d2, jnp.float32(3e38)).reshape(q.shape[0], -1)
+
+    neg_top, arg = jax.lax.top_k(-d2s, k)
+    top_d2 = -neg_top
+    top_xyz = jnp.take_along_axis(flat, arg[..., None], axis=1)
+    valid = (top_d2 < 1e37) & query_mask[:, None]
+
+    neg_w, arg_w = jax.lax.top_k(-d2w, k2)
+    top_d2w = -neg_w
+    top_xyzw = jnp.take_along_axis(flat, arg_w[..., None], axis=1)
+    valid_w = (top_d2w < 1e37) & query_mask[:, None]
+    return top_d2, top_xyz, valid, top_d2w, top_xyzw, valid_w

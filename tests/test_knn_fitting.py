@@ -97,11 +97,72 @@ def test_fit_planes_rejects_nonplanar():
     assert not bool(out.valid[0])
 
 
-def test_fit_planes_matches_reference_lstsq():
-    """Reference solves matA0 @ n = -1 via QR (mapping_scan_matcher.cc:210)."""
+def test_fit_planes_matches_reference_tls():
+    """The reference solves matA0 @ n = -1 via QR (mapping_scan_matcher.cc:
+    210) in float64; our float32 fit is centered total-least-squares (the
+    two agree on well-spread planar clusters — TLS is additionally stable
+    for tight clusters far from the origin, which the -1-RHS solve is not
+    in float32). Reference check: smallest right singular vector of the
+    centered cluster in float64."""
     pts = (RNG.normal(size=(5, 3)) * 0.1 + np.array([5, 3, 1])).astype(np.float32)
     out = fitting.fit_planes(jnp.asarray(pts[None]), jnp.ones((1, 5), bool), tol=10.0)
-    n_ref, *_ = np.linalg.lstsq(pts, -np.ones(5), rcond=None)
-    n_ref = n_ref / np.linalg.norm(n_ref)
+    _, _, Vt = np.linalg.svd(pts.astype(np.float64) - pts.mean(0))
+    n_ref = Vt[-1]
     got = np.asarray(out.normal[0])
     np.testing.assert_allclose(np.abs(got @ n_ref), 1.0, atol=1e-3)
+
+
+def test_fit_planes_two_scale_fallback_recovers_grazed_floor():
+    """Strict 5-NN = one collinear ring arc (rejected by the spread gate);
+    the wide set adds the adjacent ring arcs -> the fallback fit recovers
+    the true floor normal, and the near arc lies on the accepted plane."""
+    theta = np.linspace(-0.017, 0.017, 5)
+    near = np.stack([30 * np.cos(theta), 30 * np.sin(theta),
+                     np.full(5, -1.8)], 1).astype(np.float32)
+    rows = []
+    for rr in (28.8, 30.0, 31.2):  # three ring arcs on the same floor
+        rows.append(np.stack([rr * np.cos(theta), rr * np.sin(theta),
+                              np.full(5, -1.8)], 1))
+    wide = np.concatenate(rows, 0).astype(np.float32)[:16]
+    wide = np.concatenate([wide, np.zeros((16 - len(wide), 3), np.float32)])
+    wv = np.arange(16) < 15
+
+    strict = fitting.fit_planes(jnp.asarray(near[None]), jnp.ones((1, 5), bool))
+    assert not bool(strict.valid[0])
+    out = fitting.fit_planes_two_scale(
+        jnp.asarray(near[None]), jnp.ones((1, 5), bool),
+        jnp.asarray(wide[None]), jnp.asarray(wv[None]))
+    assert bool(out.valid[0])
+    assert abs(float(out.normal[0, 2])) > 0.99
+
+
+def test_fit_planes_two_scale_rejects_polluted_wide_set():
+    """A wide set mixing two unrelated surfaces must not be accepted, and
+    a wide plane the NEAR arc is not on must not be accepted either."""
+    theta = np.linspace(-0.017, 0.017, 5)
+    near = np.stack([30 * np.cos(theta), 30 * np.sin(theta),
+                     np.full(5, -1.8)], 1).astype(np.float32)
+    # wide = a clean VERTICAL wall plane near the arc (spread ok, resid ok)
+    yy, zz = np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-2, 0, 4))
+    wall = np.stack([np.full(16, 30.6), 30 * 0.0 + yy.ravel(),
+                     zz.ravel()], 1).astype(np.float32)
+    out = fitting.fit_planes_two_scale(
+        jnp.asarray(near[None]), jnp.ones((1, 5), bool),
+        jnp.asarray(wall[None]), jnp.ones((1, 16), bool))
+    # near arc is ~0.6 m off that wall -> resid_near gate rejects
+    assert not bool(out.valid[0])
+
+
+def test_fit_planes_isotropic_patch_unit_normal():
+    """Regression: a plane patch with isotropic in-plane spread (repeated
+    top eigenvalues) must fit a UNIT normal — the old v2 = v0 x v1
+    composition returned a zero normal there (both direct solves hit the
+    degenerate fallback), and a zero normal passes every residual gate."""
+    yy, zz = np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-1, 1, 4))
+    pts = np.stack([np.full(16, 7.0), yy.ravel(), zz.ravel()], 1
+                   ).astype(np.float32)
+    out = fitting.fit_planes(jnp.asarray(pts[None]), jnp.ones((1, 16), bool))
+    n = np.asarray(out.normal[0])
+    assert bool(out.valid[0])
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-4)
+    assert abs(n[0]) > 0.999

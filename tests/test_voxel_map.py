@@ -159,3 +159,30 @@ def test_evicted_slabs_stay_queryable_and_insertable():
     assert int(m2.total_points()) == int(m.total_points())  # all dups
     m3 = voxel_map.insert(m, jnp.asarray(far[:10]), jnp.ones(10, bool))
     assert int(m3.total_points()) > int(m.total_points())
+
+
+def test_query_knn_2r_strict_matches_query_knn_and_wide_superset():
+    """The strict half of the two-radius query must be bit-identical to
+    query_knn; the wide half must (a) contain every strict hit and (b)
+    find cross-ring points outside the strict radius but within cell_size."""
+    m = _new_map()
+    pts = RNG.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(3000, bool))
+    q = RNG.uniform(-9, 9, size=(64, 3)).astype(np.float32)
+    qm = jnp.ones(64, bool)
+
+    d2_ref, xyz_ref, v_ref = voxel_map.query_knn(m, jnp.asarray(q), qm, k=5)
+    d2, xyz, v, d2w, xyzw, vw = voxel_map.query_knn_2r(
+        m, jnp.asarray(q), qm, k=5, k2=16)
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d2_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    for i in range(64):
+        strict = set(map(tuple, np.asarray(xyz[i])[np.asarray(v[i])].tolist()))
+        wide = set(map(tuple, np.asarray(xyzw[i])[np.asarray(vw[i])].tolist()))
+        nw = int(np.asarray(vw[i]).sum())
+        assert nw == 16 or strict <= wide  # superset unless k2 overflowed
+    # wide reaches beyond the strict radius
+    r2 = (m.cell_size * 0.5) ** 2
+    dw = np.asarray(d2w)[np.asarray(vw)]
+    assert (dw > r2).any() and (dw <= m.cell_size ** 2 + 1e-5).all()
