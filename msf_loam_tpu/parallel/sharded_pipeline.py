@@ -49,6 +49,49 @@ def _sharded_matcher(mesh: Mesh, cfg: MsfLoamConfig):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_lio_program(mesh: Mesh, cfg: MsfLoamConfig):
+    """Jitted tightly-coupled LIO frame (slam.pipeline.lio_frame_core —
+    extraction + scan-to-scan GN + preintegration + IMU pre-solve + deskew
+    scan-to-map GN + full deskew + insert) with map storage, k-NN queries
+    and inserts sharded over the mesh 'map' axis. The IMU/odometry math
+    runs replicated; only the map state is distributed."""
+    from msf_loam_tpu.slam.pipeline import lio_frame_core
+
+    def query_fn(m, xyz, mask, k):
+        return sharded_map.sharded_query_knn(mesh, m, xyz, mask, k=k)
+
+    def query2_fn(m, xyz, mask, k, k2):
+        return sharded_map.sharded_query_knn_2r(mesh, m, xyz, mask, k=k,
+                                                k2=k2)
+
+    def insert_fn(m, xyz, mask):
+        return sharded_map.sharded_insert(mesh, m, xyz, mask)
+
+    @jax.jit
+    def run(cmap, smap, prev_scan, ring_image, scan_time,
+            pose_c2l, pose_odom, pose_o2m, is_first,
+            pair_dts, pair_accs, pair_gyrs, pair_valid,
+            scan_dts, scan_accs, scan_gyrs, scan_valid,
+            prev_p, prev_q, prev_v, gravity):
+        return lio_frame_core(
+            cfg, cmap, smap, prev_scan, ring_image, scan_time,
+            pose_c2l, pose_odom, pose_o2m, is_first,
+            pair_dts, pair_accs, pair_gyrs, pair_valid,
+            scan_dts, scan_accs, scan_gyrs, scan_valid,
+            prev_p, prev_q, prev_v, gravity,
+            query_fn=query_fn, query2_fn=query2_fn, insert_fn=insert_fn)
+
+    return run
+
+
+def sharded_lio_frame(mesh: Mesh, cfg: MsfLoamConfig, *args):
+    """One tightly-coupled LIO frame against sharded maps (see
+    ``_sharded_lio_program``); args mirror slam.pipeline.fused_lio_frame
+    after ``cfg``."""
+    return _sharded_lio_program(mesh, cfg)(*args)
+
+
 class ShardedSlamPipeline:
     """SlamPipeline variant with device-sharded map storage (lidar-only)."""
 

@@ -246,3 +246,73 @@ def test_sharded_map_rejects_indivisible_table():
     import pytest
     with pytest.raises(ValueError, match="map_table_size"):
         sharded_map.create_sharded_map(mesh, 4097, 16, 2.0, 0.2)
+
+
+def test_sharded_lio_frame_matches_single_device():
+    """One tightly-coupled LIO frame with sharded maps must produce the
+    same mapped pose (and map totals) as the single-device fused frame."""
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import FeatureConfig, MappingConfig, MsfLoamConfig
+    from msf_loam_tpu.dataio import preprocess, synthetic
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.parallel import sharded_map
+    from msf_loam_tpu.parallel.sharded_pipeline import sharded_lio_frame
+    from msf_loam_tpu.slam import voxel_map
+    from msf_loam_tpu.slam.pipeline import fused_lio_frame
+
+    fcfg = FeatureConfig(max_points_per_ring=1024, max_less_flat=4096)
+    cfg = MsfLoamConfig(
+        features=fcfg,
+        mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
+                              max_query_points=1024))
+    mc = cfg.mapping
+    world = synthetic.World.corridor(seed=0, size=12.0)
+    imgs = []
+    for i in range(2):
+        xyz, ring = synthetic.simulate_scan(
+            world, np.array([0.2 * i, 0.0, 0.0]), np.eye(3), n_rings=16,
+            pts_per_ring=900, noise=0.004, seed=i)
+        imgs.append(preprocess.preprocess_scan(xyz, ring, fcfg, 16))
+    prev_scan = feat_mod.extract_features(imgs[0], jnp.float32(0.0), fcfg)
+
+    # seed both map states with frame-0 features (world frame = identity)
+    corner0 = prev_scan.corner_less_sharp
+    surf0 = prev_scan.surf_less_flat
+
+    g = jnp.asarray(cfg.imu.gravity, jnp.float32)
+    nw = 8
+    dts = jnp.full((nw,), 0.0125, jnp.float32)
+    accs = jnp.tile(g[None, :], (nw, 1))
+    gyrs = jnp.zeros((nw, 3), jnp.float32)
+    ones = jnp.ones(nw, bool)
+    common = (prev_scan, imgs[1], jnp.float32(0.1), Pose.identity(),
+              Pose.identity(), Pose.identity(), jnp.asarray(False),
+              dts, accs, gyrs, ones, dts, accs, gyrs, ones,
+              jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+              jnp.zeros(3), g)
+
+    cm = voxel_map.create_map(mc.map_table_size, mc.map_cell_capacity,
+                              mc.map_cell_size, mc.line_resolution)
+    sm = voxel_map.create_map(mc.map_table_size, mc.map_cell_capacity,
+                              mc.map_cell_size, mc.plane_resolution)
+    cm = voxel_map.insert(cm, corner0.xyz, corner0.mask)
+    sm = voxel_map.insert(sm, surf0.xyz, surf0.mask)
+    dense = fused_lio_frame(cfg, cm, sm, *common)
+
+    mesh = mesh_mod.make_mesh(n_map=8, n_data=1)
+    scm = sharded_map.create_sharded_map(mesh, mc.map_table_size,
+                                         mc.map_cell_capacity,
+                                         mc.map_cell_size, mc.line_resolution)
+    ssm = sharded_map.create_sharded_map(mesh, mc.map_table_size,
+                                         mc.map_cell_capacity,
+                                         mc.map_cell_size, mc.plane_resolution)
+    scm = sharded_map.sharded_insert(mesh, scm, corner0.xyz, corner0.mask)
+    ssm = sharded_map.sharded_insert(mesh, ssm, surf0.xyz, surf0.mask)
+    shard = sharded_lio_frame(mesh, cfg, scm, ssm, *common)
+
+    np.testing.assert_allclose(np.asarray(shard[5].t),
+                               np.asarray(dense[5].t), atol=5e-3)
+    a = int(shard[0].count.sum()) + int(shard[1].count.sum())
+    b = int(dense[0].count.sum()) + int(dense[1].count.sum())
+    assert abs(a - b) <= max(5, 0.005 * b), (a, b)
