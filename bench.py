@@ -121,6 +121,14 @@ def main():
     else:
         batched_sps, batch = 0.0, 0
 
+    # tightly-coupled LIO mode (MSF_BENCH_LIO=1): times fused_lio_frame
+    # (preintegration + IMU pre-solve + deskew GN + full deskew) instead
+    # of reporting the lidar-only number.
+    if os.environ.get("MSF_BENCH_LIO", "0") == "1":
+        lio_sps = run_lio_mode(img)
+        print(f"# lio fused frame: {lio_sps:.1f} scans/s", file=sys.stderr)
+        single_sps = lio_sps
+
     scans_per_sec = max(single_sps, batched_sps)
     result = {
         "metric": "scans_per_sec_per_chip",
@@ -133,6 +141,64 @@ def main():
           f"batched (B={batch}): {batched_sps:.1f} scans/s, "
           f"compile+first: {compile_and_first:.1f}s, "
           f"platform: {jax.devices()[0].platform}", file=sys.stderr)
+
+
+def run_lio_mode(img, n_frames=N_FRAMES, n_reps=3):
+    """Steady-state throughput of the tightly-coupled post-init frame
+    (slam.pipeline.fused_lio_frame) with a realistic 40-sample IMU window
+    per frame, iterated in one on-device lax.scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import (FeatureConfig, ImuConfig, MappingConfig,
+                                     MsfLoamConfig)
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.ops import features as feat_mod
+    from msf_loam_tpu.slam import voxel_map
+    from msf_loam_tpu.slam.pipeline import lio_frame_core
+
+    cfg = MsfLoamConfig(
+        features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
+        mapping=MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
+                              max_query_points=4096),
+        imu=ImuConfig(tight_coupling=True))
+    mc = cfg.mapping
+    cmap = voxel_map.create_map(mc.map_table_size, mc.map_cell_capacity,
+                                mc.map_cell_size, mc.line_resolution)
+    smap = voxel_map.create_map(mc.map_table_size, mc.map_cell_capacity,
+                                mc.map_cell_size, mc.plane_resolution)
+    g = jnp.asarray(cfg.imu.gravity, jnp.float32)
+    nw = 40                                   # 400 Hz IMU @ 10 Hz lidar
+    dts = jnp.full((nw,), 0.0025, jnp.float32)
+    accs = jnp.tile(g[None, :], (nw, 1))
+    gyrs = jnp.zeros((nw, 3), jnp.float32)
+    ones = jnp.ones(nw, bool)
+    feats0 = feat_mod.extract_features(img, jnp.float32(0.0), cfg.features)
+
+    def frame(carry, _):
+        cmap, smap, prev_scan, c2l, odom, o2m, p, q, v = carry
+        out = lio_frame_core(
+            cfg, cmap, smap, prev_scan, img, jnp.float32(0.1),
+            c2l, odom, o2m, jnp.asarray(False),
+            dts, accs, gyrs, ones, dts, accs, gyrs, ones, p, q, v, g)
+        (cmap, smap, c2l, odom, o2m, pose_map, vel, _, _, scan) = out
+        return (cmap, smap, scan, c2l, odom, o2m,
+                pose_map.t, pose_map.q, vel), pose_map.t
+
+    @jax.jit
+    def run(cmap, smap):
+        carry = (cmap, smap, feats0, Pose.identity(), Pose.identity(),
+                 Pose.identity(), jnp.zeros(3),
+                 jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3))
+        _, ts = jax.lax.scan(frame, carry, None, length=n_frames)
+        return ts
+
+    run(cmap, smap).block_until_ready()       # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        ts = run(cmap, smap)
+    ts.block_until_ready()
+    return (n_frames * n_reps) / (time.perf_counter() - t0)
 
 
 def run_batched_mode(img, batch=8, n_frames=10):

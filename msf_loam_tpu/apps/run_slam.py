@@ -73,6 +73,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="also write reference-format trajectory.pbstream")
     ap.add_argument("--profile_dir",
                     help="capture a jax.profiler trace into this directory")
+    ap.add_argument("--viz_stream",
+                    help="publish live state (trajectory + sampled map) "
+                         "into this directory for apps/viz_stream's "
+                         "polling HTML viewer (the rviz-topics analog)")
+    ap.add_argument("--viz_period", type=int, default=20,
+                    help="frames between --viz_stream publishes")
     ap.add_argument("--map_shards", type=int, default=0,
                     help="shard the voxel map over N devices "
                          "(config-5 distributed mapping; lidar-only)")
@@ -199,9 +205,16 @@ def main(argv=None) -> int:
 
     keyframes = {}  # frame index -> host-side ScanFeatures snapshot
 
+    viz = None
+    if args.viz_stream:
+        from msf_loam_tpu.apps.viz_stream import VizStreamWriter
+        viz = VizStreamWriter(args.viz_stream, period=args.viz_period)
+
     def maybe_keyframe(pipe):
-        """Snapshot the just-processed frame's features (host memory) every
-        loop_keyframe_stride frames when loop closure is requested."""
+        """Per-frame host hooks: loop-closure keyframe snapshots every
+        loop_keyframe_stride frames, live-viz publish every viz_period."""
+        if viz is not None:
+            viz.add_frame(pipe)
         if not args.loop_closure or pipe.prev_scan is None:
             return
         idx = len(pipe.results) - 1
@@ -333,6 +346,9 @@ def main(argv=None) -> int:
 
     if profiler_ctx is not None:
         profiler_ctx.__exit__(None, None, None)
+
+    if viz is not None:
+        viz.publish(pipe, done=True)
 
     traj = pipe.trajectory()
     elapsed = time.perf_counter() - t_start

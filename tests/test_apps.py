@@ -221,3 +221,21 @@ def test_kitti_scale_64_ring_pipeline(tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["frames"] == 3
     assert out["ate_rmse_m"] < 0.1, out
+
+
+def test_viz_stream_publishes_state(tmp_path, capsys):
+    """--viz_stream writes an atomic state.json (poses + sampled map) plus
+    the polling viewer; final publish is marked done."""
+    from msf_loam_tpu.apps.run_slam import main
+    vdir = tmp_path / "viz"
+    rc = main(["--selftest", "--selftest_frames", "6", "--quiet",
+               "--viz_stream", str(vdir), "--viz_period", "3",
+               "--output_dir", str(tmp_path)])
+    assert rc == 0
+    state = json.loads((vdir / "state.json").read_text())
+    assert state["done"] is True
+    assert state["frame"] == 6
+    assert len(state["traj"]) == 6 * 3
+    assert len(state["map"]) > 0 and len(state["map"]) % 3 == 0
+    html = (vdir / "viz_live.html").read_text()
+    assert "state.json" in html and "<canvas" in html
