@@ -74,6 +74,11 @@ class MappingConfig:
     # normals, mapping_scan_matcher.cc:198-220).
     plane_fallback: bool = True
     knn_wide: int = 16
+    # gather the 8-cell candidate sets once per frame and re-run only the
+    # distance/top-k selection each re-association round (TPU gathers are
+    # row-latency-bound; see voxel_map.gather_candidates). Exactness bound:
+    # inter-round pose updates must stay well under map_cell_size/2.
+    reuse_candidates: bool = True
     line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
     plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
     outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)

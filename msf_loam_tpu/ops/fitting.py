@@ -200,6 +200,120 @@ def fit_planes_two_scale(near: Array, near_valid: Array,
     )
 
 
+def _weighted_scatter(cand: Array, w: Array) -> Tuple[Array, Array, Array]:
+    """(count, center, centered scatter matrix) of ``cand`` rows weighted
+    by 0/1 mask ``w`` — the sufficient statistics for line/plane fits,
+    computed WITHOUT materializing a gathered neighbor list (TPU gathers
+    are row-latency-bound; einsums over the candidate slab are not)."""
+    wf = w.astype(cand.dtype)
+    cnt = jnp.sum(wf, axis=-1)
+    center = jnp.einsum("...c,...ci->...i", wf, cand) \
+        / jnp.maximum(cnt, 1.0)[..., None]
+    centered = cand - center[..., None, :]
+    scatter = jnp.einsum("...c,...ci,...cj->...ij", wf, centered, centered)
+    return cnt, center, scatter
+
+
+def fit_lines_weighted(cand: Array, w: Array, min_count: int,
+                       eig_ratio: float = 3.0) -> LineFit:
+    """``fit_lines`` from a 0/1 candidate weighting (mask of the k nearest
+    within radius): direction = largest eigenvector of the weighted
+    centered scatter; valid iff >= min_count points and lambda_max >
+    eig_ratio * lambda_mid (mapping_scan_matcher.cc:147)."""
+    cnt, center, scatter = _weighted_scatter(cand, w)
+    wv, V = eigh3x3(scatter)
+    direction = V[..., :, 0]
+    valid = (cnt >= min_count) & (wv[..., 0] > eig_ratio * wv[..., 1])
+    return LineFit(center, direction, valid)
+
+
+def fit_planes_weighted(cand: Array, w: Array, min_count: int,
+                        tol: float = 0.2, cond_frac: float = 0.05
+                        ) -> PlaneFit:
+    """``fit_planes`` (centered TLS + spread gate + residual tolerance)
+    from a 0/1 candidate weighting, gather-free."""
+    cnt, center, scatter = _weighted_scatter(cand, w)
+    wv, V = eigh3x3(scatter)
+    normal = V[..., :, 2]
+    resid = jnp.abs(jnp.einsum(
+        "...i,...ci->...c", normal, cand - center[..., None, :]))
+    resid = resid * w.astype(resid.dtype)
+    valid = ((cnt >= min_count)
+             & (jnp.max(resid, axis=-1) <= tol)
+             & (wv[..., 1] > cond_frac * wv[..., 0]))
+    return PlaneFit(center, normal, valid)
+
+
+def fit_planes_two_scale_weighted(cand: Array, w_near: Array,
+                                  wide_mask: Array, min_near: int,
+                                  tol: float = 0.2, cond_frac: float = 0.05,
+                                  min_wide: int = 5) -> PlaneFit:
+    """Gather-free two-scale plane fit: strict fit from the k-NN weight
+    mask, wide moments fallback over all in-radius candidates, with the
+    near-neighborhood-on-plane admission check done as a masked max."""
+    near_fit = fit_planes_weighted(cand, w_near, min_near, tol, cond_frac)
+
+    cnt, center, scatter = _weighted_scatter(cand, wide_mask)
+    wv, V = eigh3x3(scatter)
+    normal = V[..., :, 2]
+    resid = jnp.abs(jnp.einsum(
+        "...i,...ci->...c", normal, cand - center[..., None, :]))
+    resid_w = jnp.max(resid * wide_mask.astype(resid.dtype), axis=-1)
+    resid_n = jnp.max(resid * w_near.astype(resid.dtype), axis=-1)
+    fb_ok = ((cnt >= min_wide)
+             & (wv[..., 1] > cond_frac * wv[..., 0])
+             & (resid_w <= tol) & (resid_n <= tol))
+
+    use_fb = ~near_fit.valid & fb_ok
+    return PlaneFit(
+        center=jnp.where(use_fb[..., None], center, near_fit.center),
+        normal=jnp.where(use_fb[..., None], normal, near_fit.normal),
+        valid=near_fit.valid | use_fb,
+    )
+
+
+def fit_planes_two_scale_masked(near: Array, near_valid: Array,
+                                cand: Array, wide_mask: Array,
+                                tol: float = 0.2, cond_frac: float = 0.05,
+                                min_wide: int = 5) -> PlaneFit:
+    """``fit_planes_two_scale`` with the wide fit computed from masked
+    MOMENTS over the full candidate set instead of a top-k2 subset.
+
+    The wide fallback only needs the centered scatter matrix of the
+    in-radius candidates — not a sorted neighbor list — so the top-k and
+    its row-latency-bound take_along_axis gather (Q*k2 rows) are replaced
+    by two masked einsums. Uses ALL in-radius candidates (<= the full
+    octant gather), which also makes the fallback fit better-conditioned
+    than any 16-point subset.
+    """
+    near_fit = fit_planes(near, near_valid, tol, cond_frac)
+
+    m = wide_mask[..., None].astype(cand.dtype)
+    cnt = jnp.sum(m, axis=-2)
+    center = jnp.sum(cand * m, axis=-2) / jnp.maximum(cnt, 1.0)
+    centered = (cand - center[..., None, :]) * m
+    scatter = jnp.einsum("...ki,...kj->...ij", centered, centered)
+    w, V = eigh3x3(scatter)
+    normal = V[..., :, 2]
+    resid_w = jnp.abs(jnp.einsum(
+        "...i,...ki->...k", normal, cand - center[..., None, :]))
+    resid_w = jnp.where(wide_mask, resid_w, 0.0)
+    resid_near = jnp.abs(jnp.einsum(
+        "...i,...ki->...k", normal, near - center[..., None, :]))
+    resid_near = jnp.where(near_valid, resid_near, 0.0)
+    fb_ok = ((cnt[..., 0] >= min_wide)
+             & (w[..., 1] > cond_frac * w[..., 0])
+             & (jnp.max(resid_w, axis=-1) <= tol)
+             & (jnp.max(resid_near, axis=-1) <= tol))
+
+    use_fb = ~near_fit.valid & fb_ok
+    return PlaneFit(
+        center=jnp.where(use_fb[..., None], center, near_fit.center),
+        normal=jnp.where(use_fb[..., None], normal, near_fit.normal),
+        valid=near_fit.valid | use_fb,
+    )
+
+
 def _solve3x3(A: Array, b: Array) -> Tuple[Array, Array]:
     """Batched 3x3 linear solve via adjugate; returns (x, det)."""
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]

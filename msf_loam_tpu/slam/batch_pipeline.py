@@ -155,10 +155,29 @@ def _fused_insert(vmap_state: VoxelHashMap, H: int, xyz: Array,
                            slots + seq_id * H, leaf_salt=seq_id)
 
 
+def _fused_gather_candidates(vmap_state: VoxelHashMap, H: int, query: Array,
+                             query_mask: Array) -> Tuple[Array, Array]:
+    """Octant gather over the fused table, selection deferred (the batched
+    analog of voxel_map.gather_candidates): (B, Q, 8P, 3) + occupancy."""
+    B, Q, _ = query.shape
+    P = vmap_state.slab_capacity
+    q = query.reshape(B * Q, 3)
+    ncells = neighbor_cells8(q, vmap_state.cell_size)
+    slots = _hash_cells(ncells, H)
+    offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, Q)
+    slots = slots + offset[:, None]
+    cand = vmap_state.points[slots]                       # (BQ, 8, P, 3)
+    occup = jnp.arange(P)[None, None, :] < vmap_state.count[slots][:, :, None]
+    occup = occup & query_mask.reshape(-1)[:, None, None]
+    return (cand.reshape(B, Q, 8 * P, 3), occup.reshape(B, Q, 8 * P))
+
+
 def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
                        cfg) -> Tuple[Pose, Array]:
-    """2 re-association rounds x 6-iter GN for all B sequences, with the
-    correspondence gathers flat over the fused table."""
+    """2 re-association rounds x 6-iter GN for all B sequences. Candidate
+    octants gather ONCE per frame over the fused table (B*Q*8 rows is the
+    single most row-latency-expensive op in the program); each round only
+    re-runs selection + weighted fits against the updated poses."""
     mc = cfg.mapping
     B = poses.t.shape[0]
     map_ok = jnp.ones((B,), bool)  # per-sequence gates handled by counts below
@@ -166,24 +185,29 @@ def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
 
     apply_b = jax.vmap(lambda p, x: p.apply(x))
 
+    cand_c, val_c = _fused_gather_candidates(
+        corner_map, H, apply_b(pose, corner_ds.xyz), corner_ds.mask)
+    cand_s, val_s = _fused_gather_candidates(
+        surf_map, H, apply_b(pose, surf_ds.xyz), surf_ds.mask)
+
     for _ in range(mc.outer_rounds):
         cw = apply_b(pose, corner_ds.xyz)        # (B, Qc, 3)
         sw = apply_b(pose, surf_ds.xyz)
-        d2c, nc_xyz, nc_valid = _fused_query(corner_map, H, cw,
-                                             corner_ds.mask, mc.knn)
+        d2c, w_c, _ = voxel_map.select_knn_weights(
+            cand_c, val_c, cw, corner_map.cell_size, k=mc.knn)
         gate_c = (d2c[..., mc.knn - 1] < mc.knn_dist_sq_max) & corner_ds.mask
-        lines = fitting.fit_lines(nc_xyz, nc_valid, mc.line_eig_ratio)
+        lines = fitting.fit_lines_weighted(cand_c, w_c, mc.knn,
+                                           mc.line_eig_ratio)
         edge_valid = gate_c & lines.valid
+        d2s, w_s, wide = voxel_map.select_knn_weights(
+            cand_s, val_s, sw, surf_map.cell_size, k=mc.knn)
         if mc.plane_fallback:
-            d2s, ns_xyz, ns_valid, _, nw_xyz, nw_valid = _fused_query_2r(
-                surf_map, H, sw, surf_ds.mask, mc.knn, mc.knn_wide)
-            planes = fitting.fit_planes_two_scale(
-                ns_xyz, ns_valid, nw_xyz, nw_valid, mc.plane_fit_tol,
+            planes = fitting.fit_planes_two_scale_weighted(
+                cand_s, w_s, wide, mc.knn, mc.plane_fit_tol,
                 min_wide=mc.knn)
         else:
-            d2s, ns_xyz, ns_valid = _fused_query(surf_map, H, sw,
-                                                 surf_ds.mask, mc.knn)
-            planes = fitting.fit_planes(ns_xyz, ns_valid, mc.plane_fit_tol)
+            planes = fitting.fit_planes_weighted(cand_s, w_s, mc.knn,
+                                                 mc.plane_fit_tol)
         gate_s = (d2s[..., mc.knn - 1] < mc.knn_dist_sq_max) & surf_ds.mask
         plane_valid = gate_s & planes.valid
 

@@ -65,21 +65,35 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     # overlap them instead.
 
     # corners: 5-NN, gate on the 5th distance, line fit + eigen-ratio test
-    d2c, nc_xyz, nc_valid = query_fn(corner_map, cw, corner.mask, k=cfg.knn)
-    gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
-    lines = fitting.fit_lines(nc_xyz, nc_valid, cfg.line_eig_ratio)
-    edge_valid = gate_c & lines.valid
+    sel_c = query_fn(corner_map, cw, corner.mask, k=cfg.knn)
 
     # surfs: 5-NN plane fit, with a wide-set TLS fallback where the strict
     # neighborhood is a degenerate ring arc (MappingConfig.plane_fallback)
     if cfg.plane_fallback:
-        d2s, ns_xyz, ns_valid, _, nw_xyz, nw_valid = query2_fn(
-            surf_map, sw, surf.mask, k=cfg.knn, k2=cfg.knn_wide)
+        sel_s = query2_fn(surf_map, sw, surf.mask, k=cfg.knn,
+                          k2=cfg.knn_wide)
+    else:
+        sel_s = query_fn(surf_map, sw, surf.mask, k=cfg.knn)
+    return _correspondences_from_selection(corner, surf, sel_c, sel_s, cfg)
+
+
+def _correspondences_from_selection(corner: PointBatch, surf: PointBatch,
+                                    sel_c, sel_s,
+                                    cfg: MappingConfig) -> MapCorrespondences:
+    """Gates + line/plane fits over kNN selections (shared by the
+    per-round-query and cached-candidate association paths)."""
+    d2c, nc_xyz, nc_valid = sel_c
+    gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
+    lines = fitting.fit_lines(nc_xyz, nc_valid, cfg.line_eig_ratio)
+    edge_valid = gate_c & lines.valid
+
+    if cfg.plane_fallback:
+        d2s, ns_xyz, ns_valid, _, nw_xyz, nw_valid = sel_s
         planes = fitting.fit_planes_two_scale(
             ns_xyz, ns_valid, nw_xyz, nw_valid, cfg.plane_fit_tol,
             min_wide=cfg.knn)
     else:
-        d2s, ns_xyz, ns_valid = query_fn(surf_map, sw, surf.mask, k=cfg.knn)
+        d2s, ns_xyz, ns_valid = sel_s
         planes = fitting.fit_planes(ns_xyz, ns_valid, cfg.plane_fit_tol)
     gate_s = (d2s[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & surf.mask
     plane_valid = gate_s & planes.valid
@@ -90,6 +104,51 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
         plane_points=surf.xyz, plane_c=planes.center, plane_n=planes.normal,
         plane_valid=plane_valid,
     )
+
+
+class _CandidateCache:
+    """Per-frame octant gathers for both maps (voxel_map.gather_candidates):
+    TPU gathers are row-latency-bound, so they run once per frame and each
+    re-association round only re-runs distance/top-k selection against the
+    updated pose. Valid while inter-round pose updates stay well under
+    cell_size/2 (see gather_candidates docstring)."""
+
+    def __init__(self, corner_map, surf_map, corner: PointBatch,
+                 surf: PointBatch, cw0: Array, sw0: Array):
+        self.cand_c, self.val_c = voxel_map_mod.gather_candidates(
+            corner_map, cw0, corner.mask)
+        self.cand_s, self.val_s = voxel_map_mod.gather_candidates(
+            surf_map, sw0, surf.mask)
+        self.cell_c = corner_map.cell_size
+        self.cell_s = surf_map.cell_size
+
+    def associate(self, corner: PointBatch, surf: PointBatch, cw: Array,
+                  sw: Array, cfg: MappingConfig) -> MapCorrespondences:
+        d2c, w_c, _ = voxel_map_mod.select_knn_weights(
+            self.cand_c, self.val_c, cw, self.cell_c, k=cfg.knn)
+        gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
+        lines = fitting.fit_lines_weighted(self.cand_c, w_c, cfg.knn,
+                                           cfg.line_eig_ratio)
+        edge_valid = gate_c & lines.valid
+
+        d2s, w_s, wide = voxel_map_mod.select_knn_weights(
+            self.cand_s, self.val_s, sw, self.cell_s, k=cfg.knn)
+        if cfg.plane_fallback:
+            planes = fitting.fit_planes_two_scale_weighted(
+                self.cand_s, w_s, wide, cfg.knn, cfg.plane_fit_tol,
+                min_wide=cfg.knn)
+        else:
+            planes = fitting.fit_planes_weighted(self.cand_s, w_s, cfg.knn,
+                                                 cfg.plane_fit_tol)
+        gate_s = (d2s[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & surf.mask
+        plane_valid = gate_s & planes.valid
+
+        return MapCorrespondences(
+            edge_points=corner.xyz, edge_c=lines.center,
+            edge_n=lines.direction, edge_valid=edge_valid,
+            plane_points=surf.xyz, plane_c=planes.center,
+            plane_n=planes.normal, plane_valid=plane_valid,
+        )
 
 
 class MappingResult(NamedTuple):
@@ -125,9 +184,21 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
              (surf_map.total_points() > cfg.min_map_surf)
 
+    cache = None
+    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+        cache = _CandidateCache(corner_map, surf_map, scan_corner, scan_surf,
+                                pose.apply(scan_corner.xyz),
+                                pose.apply(scan_surf.xyz))
+
     for _ in range(cfg.outer_rounds):
-        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, query_fn=query_fn, query2_fn=query2_fn)
+        if cache is not None:
+            corr = cache.associate(scan_corner, scan_surf,
+                                   pose.apply(scan_corner.xyz),
+                                   pose.apply(scan_surf.xyz), cfg)
+        else:
+            corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
+                              pose, cfg, query_fn=query_fn,
+                              query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -196,12 +267,22 @@ def match_scan2map_deskew_core(corner_map, surf_map,
         dt = dk.dt[:, None]
         return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
 
+    cache = None
+    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+        cache = _CandidateCache(
+            corner_map, surf_map, scan_corner, scan_surf,
+            deskewed_world(scan_corner, corner_dk, pose, vel),
+            deskewed_world(scan_surf, surf_dk, pose, vel))
+
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
         sw = deskewed_world(scan_surf, surf_dk, pose, vel)
-        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, corner_world=cw, surf_world=sw,
-                          query_fn=query_fn, query2_fn=query2_fn)
+        if cache is not None:
+            corr = cache.associate(scan_corner, scan_surf, cw, sw, cfg)
+        else:
+            corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
+                              pose, cfg, corner_world=cw, surf_world=sw,
+                              query_fn=query_fn, query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -280,12 +361,22 @@ def match_scan2map_tight_core(corner_map, surf_map,
         dt = dk.dt[:, None]
         return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
 
+    cache = None
+    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+        cache = _CandidateCache(
+            corner_map, surf_map, scan_corner, scan_surf,
+            deskewed_world(scan_corner, corner_dk, pose, vel),
+            deskewed_world(scan_surf, surf_dk, pose, vel))
+
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
         sw = deskewed_world(scan_surf, surf_dk, pose, vel)
-        corr = _associate(corner_map, surf_map, scan_corner, scan_surf, pose,
-                          cfg, corner_world=cw, surf_world=sw,
-                          query_fn=query_fn, query2_fn=query2_fn)
+        if cache is not None:
+            corr = cache.associate(scan_corner, scan_surf, cw, sw, cfg)
+        else:
+            corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
+                              pose, cfg, corner_world=cw, surf_world=sw,
+                              query_fn=query_fn, query2_fn=query2_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 

@@ -277,6 +277,131 @@ def query_knn(vmap: VoxelHashMap, query: Array, query_mask: Array,
     return top_d2, top_xyz, valid
 
 
+def gather_candidates(vmap: VoxelHashMap, query: Array, query_mask: Array
+                      ) -> Tuple[Array, Array]:
+    """One 8-cell octant gather, selection deferred: (Q, 8P, 3) candidate
+    coordinates + (Q, 8P) occupancy.
+
+    TPU gathers are row-latency-bound (~10 ns/row regardless of row size,
+    operand size, or layout — measured in scripts/bench_gather_layout.py),
+    so the scan-to-map matcher gathers ONCE per frame and re-runs only the
+    cheap distance/top-k selection (``select_knn`` / ``select_knn_2r``)
+    against the updated pose each re-association round. Coverage: complete
+    for any ball of radius <= cell_size/2 around the GATHER positions;
+    with the default gate radius == cell_size/2 a pose update of d meters
+    between rounds can only lose candidates in the outer d-shell of the
+    gate ball (GN steps from an odometry warm start are centimeters vs a
+    1 m gate — ATE-checked in the golden evals).
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    q = query.astype(jnp.float32)
+    ncells = neighbor_cells8(q, vmap.cell_size)                  # (Q, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 8)
+    cand = vmap.points[slots]                                    # (Q, 8, P, 3)
+    occup = jnp.arange(P)[None, None, :] < vmap.count[slots][:, :, None]
+    occup = occup & query_mask[:, None, None]
+    return (cand.reshape(q.shape[0], -1, 3),
+            occup.reshape(q.shape[0], -1))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def select_knn(cand: Array, cand_valid: Array, query: Array,
+               cell_size: Array, k: int = 5
+               ) -> Tuple[Array, Array, Array]:
+    """Strict top-k (radius cell_size/2) from a gathered candidate set —
+    the selection half of ``query_knn`` (same result when the candidates
+    were gathered at these query positions)."""
+    q = query.astype(jnp.float32)
+    diff = cand - q[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    keep = cand_valid & (d2 <= (cell_size * 0.5) ** 2)
+    d2 = jnp.where(keep, d2, jnp.float32(3e38))
+    neg_top, arg = jax.lax.top_k(-d2, k)
+    top_d2 = -neg_top
+    top_xyz = jnp.take_along_axis(cand, arg[..., None], axis=1)
+    valid = top_d2 < 1e37
+    return top_d2, top_xyz, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def select_knn_wide_mask(cand: Array, cand_valid: Array, query: Array,
+                         cell_size: Array, k: int = 5
+                         ) -> Tuple[Array, Array, Array, Array]:
+    """Strict top-k plus the wide in-radius MASK over the candidates, one
+    distance pass. The mask form feeds the moments-based fallback plane
+    fit (fitting.fit_planes_two_scale_masked) without a second top-k or
+    its row-latency-bound take_along_axis gather."""
+    q = query.astype(jnp.float32)
+    diff = cand - q[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    keep = cand_valid & (d2 <= (cell_size * 0.5) ** 2)
+    wide = cand_valid & (d2 <= cell_size ** 2)
+    d2s = jnp.where(keep, d2, jnp.float32(3e38))
+    neg_top, arg = jax.lax.top_k(-d2s, k)
+    top_d2 = -neg_top
+    top_xyz = jnp.take_along_axis(cand, arg[..., None], axis=1)
+    return top_d2, top_xyz, top_d2 < 1e37, wide
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def select_knn_weights(cand: Array, cand_valid: Array, query: Array,
+                       cell_size: Array, k: int = 5
+                       ) -> Tuple[Array, Array, Array]:
+    """Strict k-NN as a 0/1 WEIGHT over the candidate slab — no neighbor
+    gather at all (downstream fits consume weighted moments,
+    fitting.fit_*_weighted). Returns (d2 (Q,k) ascending, w_near (Q,C)
+    f32 0/1, wide (Q,C) f32 0/1). Ties at the kth distance may admit >k
+    candidates (measure-zero with leaf-deduped float32 maps; fits are
+    unaffected).
+
+    Implementation notes (xprof-measured): the weights are float32, not
+    bool — TPU pred arrays tile as (8,128)(4,1) and their cross-fusion
+    copies cost ~300 us each at this shape; and the k smallest distances
+    come from k sequential masked mins (values only), not a sort-based
+    lax.top_k — no index operand, ~2x cheaper at C=256."""
+    q = query.astype(jnp.float32)
+    diff = cand - q[..., None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    keep = cand_valid & (d2 <= (cell_size * 0.5) ** 2)
+    wide = cand_valid & (d2 <= cell_size ** 2)
+    d2s = jnp.where(keep, d2, jnp.float32(3e38))
+    vals = []
+    cur = d2s
+    for _ in range(k):
+        v = jnp.min(cur, axis=-1, keepdims=True)
+        vals.append(v)
+        cur = jnp.where(cur <= v, jnp.float32(3e38), cur)
+    top_d2 = jnp.concatenate(vals, axis=-1)
+    w_near = jnp.where(keep & (d2s <= top_d2[..., k - 1:k]), 1.0, 0.0)
+    return top_d2, w_near, wide.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "k2"))
+def select_knn_2r(cand: Array, cand_valid: Array, query: Array,
+                  cell_size: Array, k: int = 5, k2: int = 16
+                  ) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Two-radius selection from a gathered candidate set — the selection
+    half of ``query_knn_2r``."""
+    q = query.astype(jnp.float32)
+    diff = cand - q[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    keep = cand_valid & (d2 <= (cell_size * 0.5) ** 2)
+    keep_w = cand_valid & (d2 <= cell_size ** 2)
+    d2s = jnp.where(keep, d2, jnp.float32(3e38))
+    d2w = jnp.where(keep_w, d2, jnp.float32(3e38))
+
+    neg_top, arg = jax.lax.top_k(-d2s, k)
+    top_d2 = -neg_top
+    top_xyz = jnp.take_along_axis(cand, arg[..., None], axis=1)
+    valid = top_d2 < 1e37
+
+    neg_w, arg_w = jax.lax.top_k(-d2w, k2)
+    top_d2w = -neg_w
+    top_xyzw = jnp.take_along_axis(cand, arg_w[..., None], axis=1)
+    valid_w = top_d2w < 1e37
+    return top_d2, top_xyz, valid, top_d2w, top_xyzw, valid_w
+
+
 @functools.partial(jax.jit, static_argnames=("k", "k2"))
 def query_knn_2r(vmap: VoxelHashMap, query: Array, query_mask: Array,
                  k: int = 5, k2: int = 16

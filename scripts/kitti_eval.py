@@ -115,7 +115,12 @@ def main():
                     help="simulate within-scan motion (rolling shutter); "
                          "required for the lio config")
     ap.add_argument("--configs", default="odo,map,gps",
-                    help="comma list of odo,map,gps,lio")
+                    help="comma list of odo,map,gps,lio,batch")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="B concurrent sequences for the batch config "
+                         "(each with its own street-grid world seed)")
+    ap.add_argument("--batch_chunk", type=int, default=5,
+                    help="frames per run_batch dispatch")
     ap.add_argument("--cache_dir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache", "kitti_sim"))
@@ -265,6 +270,64 @@ def main():
         metrics(traj_l[:, 1:4], traj_l[:, 4:8], "lio_distorted",
                 time.perf_counter() - t0)
         results["lio_initialized"] = bool(pipe.is_initialized)
+
+    # (5) B concurrent sequences in one device program (slam/batch_pipeline):
+    # each lane drives the same route through a DIFFERENT street-grid world
+    # (seed+b), so per-lane accuracy proves no cross-sequence leakage.
+    if "batch" in configs:
+        from msf_loam_tpu.slam import batch_pipeline
+
+        B = args.batch
+        caches = []
+        for b in range(B):
+            a2 = argparse.Namespace(**vars(args))
+            a2.seed = args.seed + b
+            c, _, _ = simulate_cached(a2)
+            caches.append(c)
+        bcfg = MsfLoamConfig(
+            features=fcfg,
+            mapping=MappingConfig(map_table_size=1 << 15,
+                                  max_query_points=4096))
+        state = batch_pipeline.init_batch_state(bcfg, B, n_rings=args.rings)
+        t0 = time.perf_counter()
+        est_t, est_q = [], []
+        for s0 in range(0, n, args.batch_chunk):
+            T = min(args.batch_chunk, n - s0)
+            frames = []
+            for i in range(s0, s0 + T):
+                per_b = []
+                for b in range(B):
+                    xyz, ring = load_frame(caches[b], i)
+                    per_b.append(preprocess.preprocess_scan(
+                        xyz, ring, fcfg, num_rings=args.rings))
+                frames.append(jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *per_b))
+            ring_images = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+            state, poses = batch_pipeline.run_batch(bcfg, state, ring_images)
+            est_t.append(np.asarray(poses.t))
+            est_q.append(np.asarray(poses.q))
+            if s0 % 100 < args.batch_chunk:
+                print(f"  [batch] frame {s0}/{n} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        elapsed = time.perf_counter() - t0
+        est_t = np.concatenate(est_t)   # (n, B, 3)
+        est_q = np.concatenate(est_q)
+        per_seq = []
+        for b in range(B):
+            R = _quat_wxyz_to_R(est_q[:, b])
+            d = kitti_drift(est_t[:, b], gt_t, R, gt_R)
+            per_seq.append({
+                "ate_rmse_m": round(ate_rmse(est_t[:, b], gt_t,
+                                             align=False), 3),
+                "kitti_t_pct": d["t_pct"],
+            })
+        results["batched"] = {
+            "B": B,
+            "aggregate_scans_per_sec": round(n * B / elapsed, 1),
+            "elapsed_s": round(elapsed, 1),
+            "per_sequence": per_seq,
+        }
+        print("batched:", json.dumps(results["batched"]), flush=True)
 
     print(json.dumps(results))
     if args.json:

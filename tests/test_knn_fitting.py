@@ -166,3 +166,87 @@ def test_fit_planes_isotropic_patch_unit_normal():
     assert bool(out.valid[0])
     np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-4)
     assert abs(n[0]) > 0.999
+
+
+def test_select_matches_query_and_cached_matcher_parity():
+    """(a) gather_candidates + select_knn(_2r) must reproduce query_knn(_2r)
+    bit-for-bit at the gather positions; (b) the cached-candidate matcher
+    must land on the same pose as exact per-round re-query."""
+    import dataclasses
+
+    from msf_loam_tpu.config import MappingConfig
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.slam import mapping, voxel_map
+
+    rng = np.random.default_rng(3)
+    m = voxel_map.create_map(1 << 12, 32, 2.0, 0.4)
+    # a box room: floor + two walls (line/plane structure for the matcher)
+    n = 3000
+    pts = np.concatenate([
+        np.stack([rng.uniform(-8, 8, n), rng.uniform(-8, 8, n),
+                  np.full(n, -1.5)], 1),
+        np.stack([np.full(n, 8.0), rng.uniform(-8, 8, n),
+                  rng.uniform(-1.5, 2.5, n)], 1),
+        np.stack([rng.uniform(-8, 8, n), np.full(n, 8.0),
+                  rng.uniform(-1.5, 2.5, n)], 1),
+    ]).astype(np.float32)
+    m = voxel_map.insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+
+    q = jnp.asarray(pts[rng.choice(len(pts), 256, replace=False)]
+                    + rng.normal(0, 0.05, (256, 3)).astype(np.float32))
+    qm = jnp.ones(256, bool)
+    cand, val = voxel_map.gather_candidates(m, q, qm)
+    for got, ref in zip(
+            voxel_map.select_knn_2r(cand, val, q, m.cell_size, 5, 16),
+            voxel_map.query_knn_2r(m, q, qm, 5, 16)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    scan_idx = rng.choice(len(pts), 512, replace=False)
+    scan = PointBatch(
+        xyz=jnp.asarray(pts[scan_idx] + rng.normal(0, 0.01, (512, 3))
+                        .astype(np.float32)),
+        rel_time=jnp.zeros(512), ring=jnp.zeros(512, jnp.int32),
+        mask=jnp.ones(512, bool))
+    pose0 = Pose(t=jnp.asarray([0.05, -0.04, 0.03]),
+                 q=jnp.asarray([1.0, 0.0, 0.002, 0.0]))
+    cfg_on = MappingConfig(map_table_size=1 << 12, max_query_points=512,
+                           min_map_corner=10, min_map_surf=10)
+    cfg_off = dataclasses.replace(cfg_on, reuse_candidates=False)
+    out_on = mapping.match_scan2map(m, m, scan, scan, pose0, cfg_on)
+    out_off = mapping.match_scan2map(m, m, scan, scan, pose0, cfg_off)
+    np.testing.assert_allclose(np.asarray(out_on.pose.t),
+                               np.asarray(out_off.pose.t), atol=2e-3)
+
+
+def test_fit_planes_two_scale_masked_matches_semantics():
+    """The moments-based wide fallback must (a) recover the grazed-floor
+    normal like the top-k2 variant and (b) reject when the near arc is off
+    the wide plane."""
+    theta = np.linspace(-0.017, 0.017, 5)
+    near = np.stack([30 * np.cos(theta), 30 * np.sin(theta),
+                     np.full(5, -1.8)], 1).astype(np.float32)
+    rows = []
+    for rr in (28.8, 30.0, 31.2):
+        rows.append(np.stack([rr * np.cos(theta), rr * np.sin(theta),
+                              np.full(5, -1.8)], 1))
+    cand = np.concatenate(rows, 0).astype(np.float32)
+    cand = np.concatenate([cand, np.zeros((256 - len(cand), 3), np.float32)])
+    mask = np.arange(256) < 15
+
+    out = fitting.fit_planes_two_scale_masked(
+        jnp.asarray(near[None]), jnp.ones((1, 5), bool),
+        jnp.asarray(cand[None]), jnp.asarray(mask[None]))
+    assert bool(out.valid[0])
+    assert abs(float(out.normal[0, 2])) > 0.99
+
+    # wide set = a vertical wall 0.6 m from the near arc -> reject
+    yy, zz = np.meshgrid(np.linspace(-1, 1, 4), np.linspace(-2, 0, 4))
+    wall = np.stack([np.full(16, 30.6), yy.ravel(), zz.ravel()], 1
+                    ).astype(np.float32)
+    wall = np.concatenate([wall, np.zeros((256 - 16, 3), np.float32)])
+    wmask = np.arange(256) < 16
+    out = fitting.fit_planes_two_scale_masked(
+        jnp.asarray(near[None]), jnp.ones((1, 5), bool),
+        jnp.asarray(wall[None]), jnp.asarray(wmask[None]))
+    assert not bool(out.valid[0])

