@@ -30,6 +30,10 @@ class FeatureConfig:
     neighbor_gap_sq: float = 0.05      # suppression break gap^2 (msf_loam_node.cc:293)
     edge_margin: int = 5               # skip first/last 5 pts per ring (msf_loam_node.cc:192-194)
     less_flat_leaf: float = 0.2        # VoxelGrid leaf (msf_loam_node.cc:121)
+    # filter less-flat per scan line like the reference (one VoxelGrid per
+    # ring concatenated, msf_loam_node.cc:347-348) instead of globally;
+    # denser cloud, A/B-measured ATE-equivalent (docs/RESULTS.md)
+    less_flat_per_ring: bool = False
     # occluded-boundary / parallel-beam pick rejection (LOAM RSS'14 §5.1;
     # absent from the A-LOAM-derived reference — without it, street-scene
     # occlusion veils bias the mapping solve along the travel direction)

@@ -334,8 +334,14 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     lf_xyz = ring_image.xyz.reshape(-1, 3)
     lf_rel = ring_image.rel_time.reshape(-1)
     lf_ring = jnp.broadcast_to(jnp.arange(R)[:, None], (R, W)).reshape(-1)
+    # reference filters less-flat PER RING then concatenates (one VoxelGrid
+    # per scan line, msf_loam_node.cc:347-348): salt the voxel key with the
+    # ring index so same-voxel points on different rings both survive.
+    # Default off: the global filter is trajectory-equivalent and ~2x
+    # sparser (A/B measured in docs/RESULTS.md).
+    lf_salt = lf_ring if cfg.less_flat_per_ring else None
     lf_keep = voxel_downsample_masked(lf_xyz, less_flat_mask.reshape(-1),
-                                      cfg.less_flat_leaf)
+                                      cfg.less_flat_leaf, salt=lf_salt)
     lf = PointBatch(lf_xyz, lf_rel, lf_ring.astype(jnp.int32), lf_keep)
     lf = _compact(lf, cfg.max_less_flat)
 

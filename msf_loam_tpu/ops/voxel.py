@@ -32,14 +32,21 @@ def voxel_keys(xyz: Array, leaf: float, origin: float = 4096.0) -> Array:
     return key.astype(jnp.int32)
 
 
-def voxel_downsample_masked(xyz: Array, mask: Array, leaf: float) -> Array:
+def voxel_downsample_masked(xyz: Array, mask: Array, leaf: float,
+                            salt: Array | None = None) -> Array:
     """Return a boolean keep-mask with one representative per occupied voxel.
 
     Deterministic: keeps the lowest-index valid point in each voxel.
     Fixed-shape: output mask has the same length as the input.
+    ``salt`` (optional per-point int32) partitions the filter — points with
+    different salts never share a voxel. With salt=ring this reproduces the
+    reference's per-ring less-flat filtering (one pcl::VoxelGrid per scan
+    line, concatenated — msf_loam_node.cc:347-348).
     """
     n = xyz.shape[0]
     key = voxel_keys(xyz, leaf)
+    if salt is not None:
+        key = key ^ (salt.astype(jnp.int32) * jnp.int32(40503))
     # invalid points get a unique sentinel key so they never collide
     key = jnp.where(mask, key, jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
     order = jnp.argsort(key, stable=True)

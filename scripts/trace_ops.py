@@ -64,6 +64,30 @@ def main():
             s = jnp.sum(r.pose.t) * eps
             return (Pose(t=pose.t + s, q=pose.q), acc), s
         init = (Pose.identity(), jnp.float32(0))
+    elif which == "frame":
+        # the bench.py frame_step verbatim: feat + odo + 2x downsample +
+        # m2m + 2x insert, map state threaded through the scan
+        ocfg_f = ocfg
+
+        def body(carry, _):
+            cmap, smap, prev_feats, pose_c2l, pose_w = carry
+            feats = feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
+            odo = odometry.match_scan2scan(prev_feats, feats, pose_c2l, ocfg_f)
+            pose_w = pose_w.compose(odo.pose_curr2last)
+            corner_ds = downsample_features(feats.corner_less_sharp,
+                                            mcfg.line_resolution,
+                                            mcfg.max_query_points)
+            surf_ds = downsample_features(feats.surf_less_flat,
+                                          mcfg.plane_resolution,
+                                          mcfg.max_query_points)
+            mres = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds,
+                                          pose_w, mcfg)
+            cw = corner_ds.transform(mres.pose)
+            sw = surf_ds.transform(mres.pose)
+            cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)
+            smap = voxel_map.insert(smap, sw.xyz, sw.mask)
+            return (cmap, smap, feats, odo.pose_curr2last, mres.pose), mres.cost
+        init = (m, m, feats0, Pose.identity(), Pose.identity())
     elif which == "extract":
         def body(carry, _):
             x, acc = carry

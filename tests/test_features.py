@@ -127,3 +127,18 @@ def test_relative_time_unwrap():
     assert rel[0] == 0.0
     assert np.all(np.diff(rel) > 0)
     np.testing.assert_allclose(rel[-1], 0.1 * (n - 1) / n, atol=1e-5)
+
+
+def test_per_ring_less_flat_salt_partitions_voxels():
+    # two points in the SAME world voxel on different rings: the global
+    # filter keeps one, the per-ring filter (reference semantics, one
+    # VoxelGrid per scan line — msf_loam_node.cc:347-348) keeps both
+    from msf_loam_tpu.ops.voxel import voxel_downsample_masked
+    xyz = jnp.asarray([[0.03, 0.02, 0.01], [0.05, 0.04, 0.03],
+                       [3.0, 3.0, 3.0]], jnp.float32)
+    mask = jnp.ones(3, bool)
+    ring = jnp.asarray([0, 1, 0], jnp.int32)
+    keep_global = voxel_downsample_masked(xyz, mask, 0.2)
+    keep_ring = voxel_downsample_masked(xyz, mask, 0.2, salt=ring)
+    assert int(keep_global.sum()) == 2
+    assert int(keep_ring.sum()) == 3
