@@ -131,16 +131,22 @@ def insert_at_slots(vmap: VoxelHashMap, xyz: Array, mask: Array,
     dup_pos = jnp.argmax(match, axis=1)                 # first matching slot
     keep = rep & ~dup
     # at most one fold per (slot, pos) per batch -> exact running mean
-    upd = (rep & dup) if centroid_updates else jnp.zeros_like(dup)
-    u_slot = jnp.where(upd, slot, H)
-    u_pos = jnp.where(upd, dup_pos, 0)
-    n_obs = vmap.n_obs.at[u_slot, u_pos].add(
-        upd.astype(jnp.float32), mode="drop")
-    denom = jnp.maximum(n_obs[jnp.clip(u_slot, 0, H - 1), u_pos], 1.0)
-    delta = (xyz - vmap.points[jnp.clip(u_slot, 0, H - 1), u_pos]) \
-        / denom[:, None]
-    new_points = vmap.points.at[u_slot, u_pos].add(
-        jnp.where(upd[:, None], delta, 0.0), mode="drop")
+    if centroid_updates:
+        upd = rep & dup
+        u_slot = jnp.where(upd, slot, H)
+        u_pos = jnp.where(upd, dup_pos, 0)
+        n_obs = vmap.n_obs.at[u_slot, u_pos].add(
+            upd.astype(jnp.float32), mode="drop")
+        denom = jnp.maximum(n_obs[jnp.clip(u_slot, 0, H - 1), u_pos], 1.0)
+        delta = (xyz - vmap.points[jnp.clip(u_slot, 0, H - 1), u_pos]) \
+            / denom[:, None]
+        new_points = vmap.points.at[u_slot, u_pos].add(
+            jnp.where(upd[:, None], delta, 0.0), mode="drop")
+    else:
+        # default path: duplicates are dropped, not folded — skip the two
+        # full-table no-op scatters (each would copy the (H,P,*) buffers)
+        n_obs = vmap.n_obs
+        new_points = vmap.points
 
     # rank new points within their slot (stable) to get write offsets
     sent = jnp.int32(H)
