@@ -58,6 +58,16 @@ class OdometryConfig:
     gn_iterations: int = 6             # ceres max_num_iterations (odometry_scan_matcher.cc:271)
     huber_delta: float = 0.1           # HuberLoss(0.1) (odometry_scan_matcher.cc:67)
     min_correspondences: int = 10      # (odometry_scan_matcher.cc:262)
+    # reproject mapping/insert inputs to scan start with the constant-
+    # velocity motion prior (classic LOAM TransformToStart; the reference
+    # ships with its DISTORTION flag off and leaves lidar-only scans
+    # distorted). Applies to the pure-lidar path and, translation-only, to
+    # the pre-init LIO window — post-init the IMU deskew is exact and this
+    # is unused. Default OFF for reference parity and because the synthetic
+    # accuracy suite feeds undistorted scans (where the correction would
+    # INJECT distortion); enable for real spinning-lidar data or
+    # --distorted sims.
+    motion_deskew: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +139,12 @@ class ImuConfig:
     # constant) -> 0.035 (freed, w=10) on the distorted-scan A/B
     # (tests/test_lio_pipeline.py::test_lio_tight_coupling_tracks).
     tight_coupling: bool = False
+    # re-run the gravity/velocity init solve over the freshest init_frames
+    # mapped states every N frames (0 = frozen-after-init like the
+    # reference, estimator.cc). Init-era gravity inherits the warm-up
+    # frames' rotation-only-deskew pose errors; a ~1.4 deg tilt injects
+    # ~0.24 m/s^2 phantom acceleration into every velocity prediction.
+    grav_refine_period: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,26 +31,42 @@ def remove_invalid_points(xyz: np.ndarray, min_range: float,
 
 
 def compute_relative_time(xyz: np.ndarray, ring: np.ndarray,
-                          scan_period: float = 0.1) -> np.ndarray:
+                          scan_period: float = 0.1,
+                          margin: float = np.pi / 12) -> np.ndarray:
     """Per-point relative time from azimuth unwrap (msf_loam_node.cc:128-156).
 
     Rings rotate clockwise; ori = -atan2(y, x); angle relative to the first
-    point of the scan, clamped to [0, 2pi) then monotonically unwrapped per
-    ring (a point may exceed 2pi after the wrap point).
+    point of the scan, then unwrapped per ring in array (= emission) order.
+
+    Noise robustness matters more than it looks: position noise jitters the
+    azimuth of points in the first column to just BEFORE ``start_ori``. A
+    plain ``mod 2pi`` maps those to ~2pi, and a running-max unwrap then
+    shifts the ENTIRE rest of that ring by +2pi — half the rings end up with
+    rel_time off by a full scan period, which poisons any deskew consumer
+    (measured: median rel_time 0.116 on a 0.1 s scan, 15% of mapping
+    residuals >5 cm on a perfectly deskewed cloud). Two defenses:
+
+    * the mod window is shifted by ``margin`` so near-start jitter lands at
+      ~0 (slightly negative, clamped) instead of ~2pi;
+    * a wrap is only declared on a genuine ~2pi azimuth drop
+      (run_max - rel > pi), and is sticky for the rest of the ring. Points
+      genuinely captured in the last ``margin`` of the sweep land negative
+      too, but their array position (end of ring) puts them after the
+      running max, so the drop test restores them to ~2pi correctly.
     """
     if len(xyz) == 0:
         return np.zeros((0,), np.float32)
     start_ori = -np.arctan2(xyz[0, 1], xyz[0, 0])
     ori = -np.arctan2(xyz[:, 1], xyz[:, 0])
-    rel = np.mod(ori - start_ori + 2 * np.pi, 2 * np.pi)
-    # per-ring monotonic unwrap: bump by 2pi once the running max is passed
+    rel = np.mod(ori - start_ori + margin, 2 * np.pi) - margin
     out = rel.copy()
     for r in np.unique(ring):
         sel = ring == r
         rr = rel[sel]
         run_max_before = np.concatenate([[-np.inf], np.maximum.accumulate(rr)[:-1]])
-        wrapped = rr < run_max_before
+        wrapped = np.maximum.accumulate((run_max_before - rr) > np.pi)
         out[sel] = rr + 2 * np.pi * wrapped
+    out = np.maximum(out, 0.0)
     return (out / (2 * np.pi) * scan_period).astype(np.float32)
 
 

@@ -242,9 +242,11 @@ def simulate_scan(world: World, t_world: np.ndarray, R_world: np.ndarray,
     downstream rel-time computation is realistic.
 
     With ``linear_vel``/``yaw_rate`` set, the sensor moves DURING the scan
-    (rolling shutter): column at azimuth fraction s is captured from pose
-    (t + v*s*T, R*Rz(w*s*T)) but all returns are expressed in the start
-    frame — exactly the motion distortion the IMU deskew path removes.
+    (rolling shutter): the column at azimuth fraction s is captured from
+    pose (t + v*s*T, R*Rz(w*s*T)) and reported in THAT instantaneous
+    sensor frame, like a real lidar driver. Stacking the columns into one
+    start-frame cloud is exactly the motion distortion the IMU deskew
+    path removes.
     """
     rng = np.random.default_rng(seed)
     if world.rects or len(world.poles) > 64:
@@ -262,7 +264,6 @@ def simulate_scan(world: World, t_world: np.ndarray, R_world: np.ndarray,
     s = np.repeat(np.arange(pts_per_ring) / pts_per_ring, n_rings)  # (A*R,)
     if linear_vel is None and yaw_rate == 0.0:
         origins = np.broadcast_to(t_world, dirs.shape).copy()
-        R_cols = None
         d_world = dirs @ R_world.T
     else:
         lv = np.zeros(3) if linear_vel is None else np.asarray(linear_vel)
@@ -281,8 +282,23 @@ def simulate_scan(world: World, t_world: np.ndarray, R_world: np.ndarray,
     pts_world = origins + d_world * np.where(hit, t_hit, 0.0)[:, None]
     if noise > 0:
         pts_world = pts_world + rng.normal(scale=noise, size=pts_world.shape)
-    # express in the scan-START sensor frame
-    pts_sensor = (pts_world[hit] - t_world) @ R_world
+    if linear_vel is None and yaw_rate == 0.0:
+        # static sensor: capture frame == start frame
+        pts_sensor = (pts_world[hit] - t_world) @ R_world
+    else:
+        # a real spinning lidar reports each return in the sensor frame AT
+        # CAPTURE TIME (range+azimuth from the instantaneous pose). Naively
+        # stacking those per-column frames into one cloud IS the motion
+        # distortion the deskew path removes. (Expressing hits in the start
+        # frame instead — pts_world - t_world — would yield a perfectly
+        # consistent, distortion-FREE cloud: the moving vantage changes
+        # visibility, not geometry.)
+        rel_w = pts_world - origins                       # (A*R, 3) world
+        # sensor frame: Rz(yaw)^T @ R_world^T @ rel
+        rel_l = rel_w @ R_world                           # undo base attitude
+        px = cy * rel_l[:, 0] + sy * rel_l[:, 1]          # Rz(-yaw)
+        py = -sy * rel_l[:, 0] + cy * rel_l[:, 1]
+        pts_sensor = np.stack([px, py, rel_l[:, 2]], axis=1)[hit]
     return pts_sensor.astype(np.float32), ring[hit]
 
 

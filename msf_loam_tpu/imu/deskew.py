@@ -48,6 +48,39 @@ def undistort_full(pb: PointBatch, pre: Preintegration, pose: Pose,
     return pb._replace(xyz=new_xyz)
 
 
+def undistort_from_motion(pb: PointBatch, pose_c2l: Pose, frame_dt: float,
+                          translation_only: bool = False) -> PointBatch:
+    """Motion deskew from the scan-to-scan odometry estimate — the classic
+    LOAM TransformToStart reprojection, no IMU required.
+
+    Assuming constant velocity over the frame interval, the capture pose at
+    rel-time dt is interp(identity -> pose_c2l, s) with s = dt/frame_dt, so
+    the scan-start-frame point is
+      p' = slerp(I, q_c2l, s) p + s t_c2l.
+    The reference leaves lidar-only scans distorted (its DISTORTION flag
+    is off, odometry_scan_matcher.cc); on an accelerating platform the
+    residual distortion biases every mapped pose by ~0.5 v T, which the
+    gravity/velocity init then misreads as a tilted gravity (measured:
+    1.3 deg tilt -> 0.23 m/s^2 phantom lateral acceleration at street
+    scale). Reprojecting with the odometry motion removes the bias at the
+    source for both the pure-lidar and the pre-init LIO paths.
+
+    translation_only=True skips the slerp when an IMU gyro deskew already
+    removed the rotational part (pipeline pre-init path).
+    """
+    import jax.numpy as jnp
+
+    s = jnp.clip(pb.rel_time / frame_dt, 0.0, 1.0)
+    if translation_only:
+        xyz = pb.xyz
+    else:
+        from msf_loam_tpu.core.se3 import quat_slerp
+        ident = jnp.zeros_like(pose_c2l.q).at[0].set(1.0)
+        q = quat_slerp(ident[None, :], pose_c2l.q[None, :], s[:, None])
+        xyz = quat_rotate(q, pb.xyz)
+    return pb._replace(xyz=xyz + s[:, None] * pose_c2l.t[None, :])
+
+
 def undistort_scan_rotation_only(scan: ScanFeatures, pre: Preintegration) -> ScanFeatures:
     """Apply rotation-only deskew to all five clouds
     (ScanUndistortionUtils::DoUndistort, scan_undistortion.cc:44-56)."""

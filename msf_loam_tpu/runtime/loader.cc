@@ -56,6 +56,7 @@ int PreprocessScan(const float* xyz, const int32_t* ring_in, int n_points,
 
   std::vector<int> counts(R, 0);
   std::vector<double> run_max(R, -1e300);
+  std::vector<uint8_t> ring_wrapped(R, 0);
 
   // start azimuth from the first VALID point (msf_loam_node.cc:131 uses the
   // raw first point; invalid leaders would poison atan2 — filter first)
@@ -79,11 +80,23 @@ int PreprocessScan(const float* xyz, const int32_t* ring_in, int n_points,
       start_ori = ori;
       have_start = true;
     }
-    // clamp relative azimuth to [0, 2pi), then per-ring monotonic unwrap
-    double rel = std::fmod(ori - start_ori + kTwoPi, kTwoPi);
-    const bool wrapped = rel < run_max[ring];
+    // Noise-robust relative azimuth + per-ring unwrap (mirrors
+    // preprocess.compute_relative_time, kept bit-comparable): the mod
+    // window is shifted by kStartMargin so near-start jitter lands at ~0
+    // instead of ~2pi, and a wrap is only declared on a genuine ~2pi drop
+    // (run_max - rel > pi), sticky for the rest of the ring. A plain
+    // running-max unwrap shifts entire rings by +2pi when the first
+    // column's azimuth jitters just before start_ori.
+    constexpr double kStartMargin = 0.26179938779914943653855361527329;  // pi/12
+    double rel =
+        std::fmod(ori - start_ori + kStartMargin + kTwoPi, kTwoPi) -
+        kStartMargin;
+    if (!ring_wrapped[ring] && run_max[ring] - rel > kTwoPi / 2.0) {
+      ring_wrapped[ring] = 1;
+    }
     if (rel > run_max[ring]) run_max[ring] = rel;
-    if (wrapped) rel += kTwoPi;
+    if (ring_wrapped[ring]) rel += kTwoPi;
+    if (rel < 0.0) rel = 0.0;
     const float rel_time =
         static_cast<float>(rel / kTwoPi * (double)scan_period);
 

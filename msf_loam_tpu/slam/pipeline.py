@@ -116,6 +116,23 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                                     mc.line_resolution, mc.max_query_points)
     surf_ds = downsample_features(scan.surf_less_flat,
                                   mc.plane_resolution, mc.max_query_points)
+    if oc.motion_deskew:
+        # constant-velocity reprojection to scan start, prior = the
+        # in-frame scan-to-scan odometry step. Two properties matter
+        # (both measured the hard way):
+        #  * the prior must be FEEDBACK-FREE: a map-anchored prior (last
+        #    mapped-pose delta) closes an unstable loop — an over-
+        #    correction shifts the mapped pose, sign-flips into the next
+        #    prior, and alternates divergently. The odometry step never
+        #    reads the map, so no loop.
+        #  * step_pose is identity on the first frame, so that scan
+        #    cannot be deskewed — and a RAW first insert poisons every
+        #    later match (clean scan vs smeared map is worse than
+        #    distorted vs distorted, which self-cancels); hence the
+        #    first-frame insert skip below.
+        dt = cfg.features.scan_period
+        corner_ds = deskew_mod.undistort_from_motion(corner_ds, step_pose, dt)
+        surf_ds = deskew_mod.undistort_from_motion(surf_ds, step_pose, dt)
 
     guess = pose_o2m.compose(pose_odom)
     mres = mapping_mod.match_scan2map(corner_map, surf_map, corner_ds,
@@ -131,8 +148,17 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
 
     cw = corner_ds.transform(pose_map)
     sw = surf_ds.transform(pose_map)
-    corner_map = vm.insert(corner_map, cw.xyz, cw.mask)
-    surf_map = vm.insert(surf_map, sw.xyz, sw.mask)
+    c_mask, s_mask = cw.mask, sw.mask
+    if oc.motion_deskew:
+        # the first frame has no motion prior, so its scan cannot be
+        # deskewed — and inserting it raw poisons the map (voxel-leaf
+        # dedup keeps the smeared points forever). Start the map at
+        # frame 1 instead; frame 1 then matches an empty map and falls
+        # back to the odometry pose, which is the right degradation.
+        c_mask = c_mask & ~is_first
+        s_mask = s_mask & ~is_first
+    corner_map = vm.insert(corner_map, cw.xyz, c_mask)
+    surf_map = vm.insert(surf_map, sw.xyz, s_mask)
     return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
             odo.n_correspondences, odo.ok | is_first)
 
@@ -298,26 +324,48 @@ class SlamPipeline:
             prev["delta_v"] = np.asarray(pre.delta_v)
         self._states.append(st)
         if len(self._states) == icfg.init_frames and not self.is_initialized:
-            N = len(self._states)
-            p = np.asarray([s["p"] for s in self._states], np.float32)
-            q = np.asarray([s["q"] for s in self._states], np.float32)
-            dt = np.asarray([self._states[i + 1]["time"] - self._states[i]["time"]
-                             for i in range(N - 1)], np.float32)
-            dps = np.asarray([self._states[i]["delta_p"] for i in range(N - 1)],
-                             np.float32)
-            dvs = np.asarray([self._states[i]["delta_v"] for i in range(N - 1)],
-                             np.float32)
-            ok = np.isfinite(dps).all(axis=1) & (dt > 1e-6)
-            out = gravity_init.solve_gravity_velocity(
-                jnp.asarray(p), jnp.asarray(q), jnp.asarray(dt),
-                jnp.asarray(dps), jnp.asarray(dvs), jnp.asarray(ok),
-                self.gravity, n_frames=N,
-                reject_frac=icfg.init_reject_frac)
+            out = self._solve_gravity_window(self._states)
             self.gravity = out.gravity
             self.velocity = out.velocities[-1]
             for i, s in enumerate(self._states):
                 s["v"] = np.asarray(out.velocities[i])
             self.is_initialized = True
+        elif (self.is_initialized and icfg.grav_refine_period > 0
+              and len(self._states) >= 2 * icfg.init_frames
+              and len(self._states) % icfg.grav_refine_period == 0):
+            # continuous gravity refinement over the freshest init_frames
+            # mapped states (same solve, same compiled shape). The init-era
+            # gravity inherits the rotation-only-deskew pose errors of the
+            # warm-up frames; a 1.4 deg tilt error injects ~0.24 m/s^2 of
+            # phantom acceleration that the velocity feedback integrates
+            # (measured: 0.28 m/s lag after 10 street frames). The
+            # reference keeps gravity frozen after init (estimator.cc);
+            # refining from post-init poses removes that floor.
+            out = self._solve_gravity_window(
+                self._states[-icfg.init_frames:])
+            self.gravity = out.gravity
+            self.velocity = out.velocities[-1]
+            self._states[-1]["v"] = np.asarray(out.velocities[-1])
+
+    def _solve_gravity_window(self, states) -> "gravity_init.GravityInitResult":
+        """Gravity/velocity LS over consecutive mapped states (the
+        Estimator init solve, estimator.cc:56-111), reusable post-init."""
+        icfg = self.cfg.imu
+        N = len(states)
+        p = np.asarray([s["p"] for s in states], np.float32)
+        q = np.asarray([s["q"] for s in states], np.float32)
+        dt = np.asarray([states[i + 1]["time"] - states[i]["time"]
+                         for i in range(N - 1)], np.float32)
+        dps = np.asarray([states[i]["delta_p"] for i in range(N - 1)],
+                         np.float32)
+        dvs = np.asarray([states[i]["delta_v"] for i in range(N - 1)],
+                         np.float32)
+        ok = np.isfinite(dps).all(axis=1) & (dt > 1e-6)
+        return gravity_init.solve_gravity_velocity(
+            jnp.asarray(p), jnp.asarray(q), jnp.asarray(dt),
+            jnp.asarray(dps), jnp.asarray(dvs), jnp.asarray(ok),
+            self.gravity, n_frames=N,
+            reject_frac=icfg.init_reject_frac)
 
     # ------------------------------------------------------------------
     def process_scan(self, scan: ScanFeatures) -> FrameResult:
@@ -356,6 +404,21 @@ class SlamPipeline:
             surf_ds = downsample_features(
                 scan.surf_less_flat, cfg.mapping.plane_resolution,
                 cfg.mapping.max_query_points)
+
+        if (use_imu and not self.is_initialized and odom_ok
+                and self.prev_scan is not None and cfg.odometry.motion_deskew):
+            # pre-init translation deskew from the in-frame odometry step
+            # (rotation already removed by the gyro-only deskew above;
+            # the odometry prior is feedback-free — see _frame_core).
+            # Without this, every init-window pose is biased by ~0.5 v T,
+            # the bias grows with the launch speed ramp, and the gravity
+            # solve misreads it as tilt (measured: 1.3 deg -> 0.23 m/s^2
+            # phantom lateral acceleration integrated into velocity).
+            dt = cfg.features.scan_period
+            corner_ds = deskew_mod.undistort_from_motion(
+                corner_ds, self.pose_curr2last, dt, translation_only=True)
+            surf_ds = deskew_mod.undistort_from_motion(
+                surf_ds, self.pose_curr2last, dt, translation_only=True)
 
         with self.timers.stage("MAP", "scan-to-map"):
             # TransformAssociateToMap (laser_mapping.h:55)
@@ -401,7 +464,16 @@ class SlamPipeline:
             # TransformUpdate (laser_mapping.h:59)
             self.pose_odom2map = self.pose_map.compose(self.pose_odom.inverse())
 
+        skip_insert = (cfg.odometry.motion_deskew and use_imu
+                       and not self.is_initialized and self.prev_scan is None)
         with self.timers.stage("MAP", "insert"):
+            if skip_insert:
+                # first frame with motion deskew on: no motion prior exists
+                # yet, and a raw distorted insert would poison the map
+                # (see _frame_core) — start the map at frame 1
+                corner_ds = corner_ds._replace(
+                    mask=jnp.zeros_like(corner_ds.mask))
+                surf_ds = surf_ds._replace(mask=jnp.zeros_like(surf_ds.mask))
             if use_imu and self.is_initialized and pre_scan is not None:
                 # full deskew before insertion (laser_mapping.cc:197-211)
                 corner_ds = deskew_mod.undistort_full(

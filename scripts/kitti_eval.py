@@ -32,10 +32,18 @@ DT = 0.1
 
 
 def sim_params(args):
-    return dict(seed=args.seed, n_blocks=args.blocks, frames=args.frames,
-                rings=args.rings, pts=args.pts, route=args.route,
-                speed=SPEED, accel=ACCEL, noise=args.noise,
-                distorted=args.distorted)
+    # sim_version busts the frame cache when simulate_scan semantics change
+    # (v2: distorted scans report returns in the capture-time sensor frame)
+    d = dict(seed=args.seed, n_blocks=args.blocks, frames=args.frames,
+             rings=args.rings, pts=args.pts, route=args.route,
+             speed=SPEED, accel=ACCEL, noise=args.noise,
+             distorted=args.distorted)
+    if args.distorted:
+        # v2: distorted scans report returns in the capture-time sensor
+        # frame (undistorted output is identical across versions — those
+        # caches keep their original key)
+        d["sim_version"] = 2
+    return d
 
 
 def _sim_one(task):
@@ -149,7 +157,7 @@ def main():
 
     from msf_loam_tpu.apps.evaluate import _quat_wxyz_to_R, kitti_drift
     from msf_loam_tpu.config import (FeatureConfig, ImuConfig, MappingConfig,
-                                     MsfLoamConfig)
+                                     MsfLoamConfig, OdometryConfig)
     from msf_loam_tpu.core.se3 import Pose
     from msf_loam_tpu.dataio import preprocess, synthetic
     from msf_loam_tpu.ops import features as feat_mod
@@ -160,8 +168,11 @@ def main():
     if args.feature_overrides:
         fkw.update(json.loads(args.feature_overrides))
     fcfg = FeatureConfig(**fkw)
+    # distorted scans: reproject with the constant-velocity motion prior
+    # (real-sensor semantics; undistorted sims must NOT apply it)
+    ocfg = OdometryConfig(motion_deskew=args.distorted)
     cfg = MsfLoamConfig(
-        features=fcfg,
+        features=fcfg, odometry=ocfg,
         mapping=MappingConfig(map_table_size=1 << 15, max_query_points=4096))
     n = args.frames
     gt_t = st["p"][:n]
@@ -251,7 +262,7 @@ def main():
     if "lio" in configs:
         t0 = time.perf_counter()
         lio_cfg = MsfLoamConfig(
-            features=fcfg,
+            features=fcfg, odometry=ocfg,
             mapping=MappingConfig(map_table_size=1 << 15,
                                   max_query_points=4096),
             imu=ImuConfig(init_frames=30, warmup_msgs=50))
