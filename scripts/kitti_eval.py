@@ -230,16 +230,57 @@ def main():
         metrics(np.asarray(est_t), np.asarray(est_q), "odometry_only",
                 time.perf_counter() - t0)
 
-    # (2) scan-to-map (feeds gps)
+    # (2) scan-to-map (feeds gps and loop); the loop config snapshots
+    # keyframes during this same run
     traj = None
-    if "map" in configs or "gps" in configs:
+    keyframes = {}
+    want_loop = "loop" in configs
+    if want_loop and args.route != "lap":
+        raise SystemExit("--configs loop requires --route lap "
+                         "(a closed circuit with a genuine revisit)")
+    if "map" in configs or "gps" in configs or want_loop:
+        import dataclasses as _dc
+
+        kf_stride = 10
+        loop_cfg = _dc.replace(cfg, posegraph=_dc.replace(
+            cfg.posegraph, loop_keyframe_stride=kf_stride,
+            loop_max_dist=6.0, loop_min_index_gap=100))
         t0 = time.perf_counter()
         pipe = SlamPipeline(cfg)
         for i, img in frame_iter("map"):
             pipe.process_ring_image(img, DT * i)
+            if want_loop and i % kf_stride == 0 and pipe.prev_scan is not None:
+                keyframes[i] = jax.device_get(pipe.prev_scan)
         traj = pipe.trajectory()
         metrics(traj[:, 1:4], traj[:, 4:8], "scan_to_map",
                 time.perf_counter() - t0)
+
+    # (2b) + loop closure on the lap circuit (detect revisits among the
+    # keyframes, scan-match loop edges, exact pose-graph solve)
+    if want_loop and len(keyframes) >= 2:
+        import logging
+
+        from msf_loam_tpu.apps.run_slam import _close_loops
+
+        t0 = time.perf_counter()
+        poses = Pose(t=jnp.asarray(traj[:, 1:4], dtype=jnp.float32),
+                     q=jnp.asarray(traj[:, 4:8], dtype=jnp.float32))
+        data = posegraph.build_graph_data(
+            jnp.asarray(traj[:, 0], dtype=jnp.float32), poses,
+            jnp.zeros(1, jnp.float32), jnp.zeros((1, 3), jnp.float32),
+            jnp.zeros(1, bool))  # inert GPS row: loop edges only
+        n_real = len(traj)
+        poses_p, data_p = posegraph.pad_graph(
+            poses, data, posegraph.next_bucket(n_real))
+        out, n_edges = _close_loops(
+            loop_cfg, poses_p, data_p, traj, keyframes,
+            logging.getLogger("kitti_eval"))
+        traj_lc = traj.copy()
+        traj_lc[:, 1:4] = np.asarray(out.poses.t[:n_real])
+        traj_lc[:, 4:8] = np.asarray(out.poses.q[:n_real])
+        metrics(traj_lc[:, 1:4], traj_lc[:, 4:8], "with_loop_closure",
+                time.perf_counter() - t0)
+        results["loop_edges"] = n_edges
 
     # (3) + GPS pose graph (1 Hz, 5 cm)
     if "gps" in configs:
