@@ -211,7 +211,13 @@ def main():
                       f"({time.perf_counter() - t_last:.0f}s)", flush=True)
             yield i, img
 
-    # (1) odometry only (scan-to-scan chain)
+    # (1) odometry only (scan-to-scan chain), rigid matching like the
+    # reference with DISTORTION off. Measured and REJECTED: deskewing each
+    # scan with the PREVIOUS step before matching (stale-prior
+    # TransformToStart) — without a map anchor the deskew prior feeds its
+    # own error forward and the chain diverges (13 -> 112 %/100m on the
+    # distorted street run). Identically-distorted consecutive scans
+    # largely self-cancel under rigid matching instead.
     if "odo" in configs:
         t0 = time.perf_counter()
         pose_w = Pose.identity()
