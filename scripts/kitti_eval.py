@@ -175,8 +175,11 @@ def main():
         features=fcfg, odometry=ocfg,
         mapping=MappingConfig(map_table_size=1 << 15, max_query_points=4096))
     n = args.frames
-    gt_t = st["p"][:n]
-    gt_R = st["R"][:n]
+    # ground truth in the first-frame (SLAM origin) coordinate system — the
+    # tour route happens to start at origin/identity, the lap route does not
+    p0, R0 = st["p"][0], st["R"][0]
+    gt_t = (st["p"][:n] - p0) @ R0
+    gt_R = np.einsum("ji,njk->nik", R0, st["R"][:n])
     dist_m = float(np.linalg.norm(np.diff(gt_t, axis=0), axis=1).sum())
     print(f"platform {jax.devices()[0].platform}; {n} frames, "
           f"{dist_m:.0f} m", flush=True)
