@@ -128,7 +128,8 @@ class ShardedSlamPipeline:
 
     def process_scan(self, scan: ScanFeatures) -> FrameResult:
         cfg = self.cfg
-        if self.prev_scan is not None:
+        is_first = self.prev_scan is None
+        if not is_first:
             out = odometry.match_scan2scan(self.prev_scan, scan,
                                            self.pose_curr2last, cfg.odometry)
             if bool(out.ok):
@@ -145,6 +146,16 @@ class ShardedSlamPipeline:
         surf_ds = downsample_features(scan.surf_less_flat,
                                       cfg.mapping.plane_resolution,
                                       cfg.mapping.max_query_points)
+        if cfg.odometry.motion_deskew and not is_first:
+            # dense-path parity (slam.pipeline._frame_core): constant-
+            # velocity reprojection from the feedback-free odometry step
+            from msf_loam_tpu.imu import deskew as deskew_mod
+
+            dt = cfg.features.scan_period
+            corner_ds = deskew_mod.undistort_from_motion(
+                corner_ds, self.pose_curr2last, dt)
+            surf_ds = deskew_mod.undistort_from_motion(
+                surf_ds, self.pose_curr2last, dt)
 
         guess = self.pose_odom2map.compose(self.pose_odom)
         mres = _sharded_matcher(self.mesh, cfg)(
@@ -152,12 +163,16 @@ class ShardedSlamPipeline:
         self.pose_map = mres.pose if bool(mres.ok) else guess
         self.pose_odom2map = self.pose_map.compose(self.pose_odom.inverse())
 
-        cw = corner_ds.transform(self.pose_map)
-        sw = surf_ds.transform(self.pose_map)
-        self.corner_map = sharded_map.sharded_insert(
-            self.mesh, self.corner_map, cw.xyz, cw.mask)
-        self.surf_map = sharded_map.sharded_insert(
-            self.mesh, self.surf_map, sw.xyz, sw.mask)
+        if not (cfg.odometry.motion_deskew and is_first):
+            # with motion deskew on, frame 0 has no motion prior: a raw
+            # distorted insert would poison the map (leaf dedup keeps the
+            # smeared points) — start the map at frame 1, like _frame_core
+            cw = corner_ds.transform(self.pose_map)
+            sw = surf_ds.transform(self.pose_map)
+            self.corner_map = sharded_map.sharded_insert(
+                self.mesh, self.corner_map, cw.xyz, cw.mask)
+            self.surf_map = sharded_map.sharded_insert(
+                self.mesh, self.surf_map, sw.xyz, sw.mask)
 
         # periodic far-point eviction, same cadence as SlamPipeline._maybe_evict
         # — without it the sharded tables fill monotonically on long

@@ -154,7 +154,11 @@ def test_distributed_loop_posegraph_matches_single_device():
 
 def test_sharded_pipeline_matches_dense():
     """End-to-end config-5: the sharded-map pipeline must track the same
-    trajectory as the single-device pipeline (queries are exact)."""
+    trajectory as the single-device pipeline (queries are exact) — on
+    motion-DISTORTED scans with motion_deskew on, so the sharded deskew +
+    frame-0 insert-skip parity is covered too."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from msf_loam_tpu.config import FeatureConfig, MappingConfig, MsfLoamConfig
@@ -168,13 +172,15 @@ def test_sharded_pipeline_matches_dense():
         features=fcfg,
         mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
                               max_query_points=1024))
+    cfg = dataclasses.replace(cfg, odometry=dataclasses.replace(
+        cfg.odometry, motion_deskew=True))
     world = synthetic.World.corridor(seed=0, size=12.0)
     scans = []
     for i in range(4):
         t = np.array([0.25 * i, 0.05 * i, 0.0])
         xyz, ring = synthetic.simulate_scan(world, t, np.eye(3), n_rings=16,
                                             pts_per_ring=900, noise=0.004,
-                                            seed=i)
+                                            seed=i, linear_vel=[2.5, 0.5, 0.0])
         img = preprocess.preprocess_scan(xyz, ring, fcfg, 16)
         scans.append(feat_mod.extract_features(img, jnp.float32(0.1 * i), fcfg))
 
