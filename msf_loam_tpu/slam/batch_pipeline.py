@@ -257,6 +257,16 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     corner_ds = ds(feats.corner_less_sharp)
     surf_ds = jax.vmap(lambda pb: downsample_features(
         pb, mc.plane_resolution, mc.max_query_points))(feats.surf_less_flat)
+    if oc.motion_deskew:
+        # dense-path parity (slam.pipeline._frame_core): constant-velocity
+        # reprojection from each lane's feedback-free odometry step
+        from msf_loam_tpu.imu import deskew as deskew_mod
+
+        dt = fc.scan_period
+        dk = jax.vmap(lambda pb, p: deskew_mod.undistort_from_motion(
+            pb, p, dt))
+        corner_ds = dk(corner_ds, step_pose)
+        surf_ds = dk(surf_ds, step_pose)
 
     guess = state.pose_o2m.compose(pose_odom)
     pose_map, ok = _batched_map_match(
@@ -269,8 +279,14 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     apply_b = jax.vmap(lambda p, x: p.apply(x))
     cw = apply_b(pose_map, corner_ds.xyz)
     sw = apply_b(pose_map, surf_ds.xyz)
-    corner_map = _fused_insert(state.corner_map, H, cw, corner_ds.mask)
-    surf_map = _fused_insert(state.surf_map, H, sw, surf_ds.mask)
+    c_mask, s_mask = corner_ds.mask, surf_ds.mask
+    if oc.motion_deskew:
+        # frame 0 has no motion prior: a raw distorted insert would poison
+        # every lane's map (leaf dedup keeps it) — start maps at frame 1
+        c_mask = c_mask & ~is_first
+        s_mask = s_mask & ~is_first
+    corner_map = _fused_insert(state.corner_map, H, cw, c_mask)
+    surf_map = _fused_insert(state.surf_map, H, sw, s_mask)
 
     new_state = BatchState(
         corner_map=corner_map, surf_map=surf_map, prev_feats=feats,

@@ -19,18 +19,20 @@ CFG = MsfLoamConfig(
 )
 
 
-def _make_batch(T=5, B=2):
+def _make_batch(T=5, B=2, distort=False):
     """B worlds, T frames each, distinct trajectories."""
     imgs, gts = [], []
     for b in range(B):
         world = synthetic.World.corridor(seed=b, size=12.0)
         step = np.array([0.25, 0.05 * (b + 1), 0.0])
+        kw = dict(linear_vel=step / 0.1) if distort else {}
         seq_imgs, seq_gt = [], []
         for i in range(T):
             t = step * i
             xyz, ring = synthetic.simulate_scan(world, t, np.eye(3),
                                                 n_rings=16, pts_per_ring=900,
-                                                noise=0.004, seed=10 * b + i)
+                                                noise=0.004, seed=10 * b + i,
+                                                **kw)
             img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
             seq_imgs.append(img)
             seq_gt.append(t)
@@ -84,6 +86,24 @@ def test_fused_insert_no_cross_sequence_suppression():
     # and the point landed only in the owner's slot range
     counts = np.asarray(fused.count)
     assert counts[:H].sum() == 1 and counts[H:].sum() == 1
+
+
+def test_batch_motion_deskew_tracks_distorted():
+    """Batched lanes over motion-DISTORTED scans with motion_deskew on:
+    the _frame_core parity path (deskew from each lane's odometry step +
+    frame-0 insert skip) must keep per-lane tracking accurate."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, odometry=dataclasses.replace(
+        CFG.odometry, motion_deskew=True))
+    T, B = 5, 2
+    ring_images, gts = _make_batch(T, B, distort=True)
+    state = batch_pipeline.init_batch_state(cfg, B, n_rings=16)
+    state, poses = batch_pipeline.run_batch(cfg, state, ring_images)
+    est = np.asarray(poses.t)
+    for b in range(B):
+        err = ate_rmse(est[:, b], gts[b], align=False)
+        assert err < 0.1, f"seq {b}: ATE {err:.3f}"
 
 
 def test_batch_matches_single_pipeline_roughly():
