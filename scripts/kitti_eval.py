@@ -346,7 +346,7 @@ def main():
             c, _, _ = simulate_cached(a2)
             caches.append(c)
         bcfg = MsfLoamConfig(
-            features=fcfg,
+            features=fcfg, odometry=ocfg,
             mapping=MappingConfig(map_table_size=1 << 15,
                                   max_query_points=4096))
         state = batch_pipeline.init_batch_state(bcfg, B, n_rings=args.rings)
