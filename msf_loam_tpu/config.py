@@ -68,6 +68,17 @@ class OdometryConfig:
     # INJECT distortion); enable for real spinning-lidar data or
     # --distorted sims.
     motion_deskew: bool = False
+    # in-loop deskew inside the scan-to-scan matcher (the A-LOAM
+    # DISTORTION=1 TransformToStart, which the reference disables): per
+    # re-association round the CURRENT scan reprojects with the live pose
+    # estimate and the reference scan with the warm-start step, so the
+    # estimated step is scan-start-to-scan-start and the estimator error
+    # contracts across rounds (Picard). NOT the stale-prior chain (deskew
+    # once with the previous step, match rigidly) — that diverges without
+    # a map anchor (measured 13 -> 112 %/100m). Needs rel_time/scan_period
+    # consistent with FeatureConfig.scan_period.
+    deskew: bool = False
+    scan_period: float = 0.1           # must equal FeatureConfig.scan_period
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,6 +248,12 @@ class MsfLoamConfig:
             raise ValueError("features.sharp_per_sector cannot exceed "
                              "less_sharp_per_sector (sharp picks are a "
                              "prefix of the less-sharp set)")
+        if self.odometry.deskew and \
+                abs(self.odometry.scan_period - fc.scan_period) > 1e-9:
+            raise ValueError(
+                f"odometry.scan_period={self.odometry.scan_period} != "
+                f"features.scan_period={fc.scan_period}: the in-matcher "
+                f"deskew would mis-scale every point's rel_time fraction")
 
     @staticmethod
     def from_json(path: str) -> "MsfLoamConfig":

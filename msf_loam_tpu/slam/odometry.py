@@ -135,15 +135,36 @@ class OdometryResult(NamedTuple):
 def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
                     pose0: Pose, cfg: OdometryConfig) -> OdometryResult:
     """Estimate pose_curr2last by matching curr's sharp/flat features
-    against last's less-sharp/less-flat clouds."""
+    against last's less-sharp/less-flat clouds.
+
+    With ``cfg.deskew`` (the A-LOAM DISTORTION=1 TransformToStart the
+    reference ships disabled): both scans are motion-distorted; per
+    re-association round the CURRENT scan's features reproject to its
+    scan start with the LIVE pose estimate (refreshed each round — Picard
+    iteration on the deskew), while the reference scan reprojects once
+    with the warm-start step (the best estimate of ITS within-scan
+    motion under constant velocity). The estimated transform is then the
+    true scan-start-to-scan-start step rather than the effective-center
+    displacement rigid matching recovers."""
+    ref_corner = scan_last.corner_less_sharp
+    ref_surf = scan_last.surf_less_flat
+    if cfg.deskew:
+        from msf_loam_tpu.imu.deskew import undistort_from_motion
+
+        ref_corner = undistort_from_motion(ref_corner, pose0, cfg.scan_period)
+        ref_surf = undistort_from_motion(ref_surf, pose0, cfg.scan_period)
+
     pose = pose0
     n_corr = jnp.float32(0.0)
     cost = jnp.float32(0.0)
     for _ in range(cfg.outer_rounds):
-        edges = find_edge_correspondences(
-            scan_curr.corner_sharp, scan_last.corner_less_sharp, pose, cfg)
-        planes = find_plane_correspondences(
-            scan_curr.surf_flat, scan_last.surf_less_flat, pose, cfg)
+        q_corner = scan_curr.corner_sharp
+        q_surf = scan_curr.surf_flat
+        if cfg.deskew:
+            q_corner = undistort_from_motion(q_corner, pose, cfg.scan_period)
+            q_surf = undistort_from_motion(q_surf, pose, cfg.scan_period)
+        edges = find_edge_correspondences(q_corner, ref_corner, pose, cfg)
+        planes = find_plane_correspondences(q_surf, ref_surf, pose, cfg)
         n_corr = (jnp.sum(edges.valid.astype(jnp.float32))
                   + jnp.sum(planes.valid.astype(jnp.float32)))
 

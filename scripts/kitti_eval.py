@@ -214,14 +214,20 @@ def main():
                       f"({time.perf_counter() - t_last:.0f}s)", flush=True)
             yield i, img
 
-    # (1) odometry only (scan-to-scan chain), rigid matching like the
-    # reference with DISTORTION off. Measured and REJECTED: deskewing each
-    # scan with the PREVIOUS step before matching (stale-prior
-    # TransformToStart) — without a map anchor the deskew prior feeds its
-    # own error forward and the chain diverges (13 -> 112 %/100m on the
-    # distorted street run). Identically-distorted consecutive scans
-    # largely self-cancel under rigid matching instead.
+    # (1) odometry only (scan-to-scan chain). On distorted scans the
+    # matcher runs its IN-LOOP deskew (OdometryConfig.deskew, the A-LOAM
+    # DISTORTION=1 TransformToStart the reference ships disabled): each
+    # round the current scan reprojects with the LIVE estimate, so the
+    # deskew error contracts. Measured and REJECTED earlier: the
+    # stale-prior variant (deskew once with the previous step OUTSIDE the
+    # matcher, then match rigidly) — without in-loop refresh the prior
+    # feeds its own error forward and the chain diverges (13 -> 112
+    # %/100m on this run).
     if "odo" in configs:
+        import dataclasses as _dc2
+
+        odo_cfg = (_dc2.replace(cfg.odometry, deskew=True)
+                   if args.distorted else cfg.odometry)
         t0 = time.perf_counter()
         pose_w = Pose.identity()
         c2l = Pose.identity()
@@ -230,7 +236,7 @@ def main():
         for i, img in frame_iter("odo"):
             feats = feat_mod.extract_features(img, jnp.float32(DT * i), fcfg)
             if prev is not None:
-                out = odometry.match_scan2scan(prev, feats, c2l, cfg.odometry)
+                out = odometry.match_scan2scan(prev, feats, c2l, odo_cfg)
                 c2l = out.pose_curr2last
                 pose_w = pose_w.compose(c2l)
                 est_t.append(np.asarray(pose_w.t))

@@ -98,3 +98,40 @@ def test_recover_full_6dof_motion():
     from msf_loam_tpu.core.se3 import quat_log
     got_rotvec = np.asarray(quat_log(out.pose_curr2last.q))
     np.testing.assert_allclose(got_rotvec, rotvec, atol=0.01)
+
+
+def test_deskew_recovers_true_step_on_accelerating_motion():
+    """In-matcher deskew (A-LOAM DISTORTION=1 analog, OdometryConfig.deskew):
+    on an ACCELERATING platform two consecutive scans carry different
+    rolling-shutter distortion; rigid matching recovers the effective-center
+    displacement (true step + 0.5*dv*T bias), the deskewed matcher must
+    recover the true scan-start-to-scan-start step."""
+    import dataclasses
+
+    T = 0.1
+    v0 = np.array([3.0, 0.0, 0.0])
+    v1 = np.array([4.0, 0.0, 0.0])     # +1 m/s between scans (strong accel)
+    step = (v0 + v1) / 2 * T           # true start-to-start displacement
+
+    def scan(t, v, seed):
+        xyz, ring = synthetic.simulate_scan(
+            WORLD, t, np.eye(3), n_rings=16, pts_per_ring=1800,
+            noise=0.004, seed=seed, linear_vel=v, yaw_rate=0.0)
+        img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+        return features.extract_features(img, jnp.float32(0.0), FCFG)
+
+    f0 = scan(np.zeros(3), v0, seed=1)
+    f1 = scan(step, v1, seed=2)
+    # warm start = previous step (v0*T), like the pipeline's warm start
+    warm = Pose(t=jnp.asarray(v0 * T, jnp.float32),
+                q=jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+
+    rigid = odometry.match_scan2scan(f0, f1, warm, OCFG)
+    dk_cfg = dataclasses.replace(OCFG, deskew=True)
+    dsk = odometry.match_scan2scan(f0, f1, warm, dk_cfg)
+    err_rigid = np.linalg.norm(np.asarray(rigid.pose_curr2last.t) - step)
+    err_dsk = np.linalg.norm(np.asarray(dsk.pose_curr2last.t) - step)
+    assert bool(dsk.ok)
+    # rigid carries the 0.5*dv*T = 5 cm center-displacement bias
+    assert err_dsk < 0.02, (err_dsk, err_rigid)
+    assert err_dsk < 0.6 * err_rigid, (err_dsk, err_rigid)
