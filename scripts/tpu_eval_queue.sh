@@ -16,6 +16,10 @@ timeout 2400 python scripts/kitti_eval.py --frames 330 --route lap \
 timeout 4000 python scripts/kitti_eval.py --frames 600 --configs batch \
   --batch 8 --json docs/kitti_eval_batch.json
 
+# 3b) km-scale distorted tour (map + LIO)
+timeout 6000 python scripts/kitti_eval.py --frames 2000 --blocks 7 \
+  --distorted --configs map,lio --json docs/kitti_eval_2km_distorted.json
+
 # 4) bench modes
 timeout 1800 python bench.py 2> docs/bench_16ring.stderr
 MSF_BENCH_RINGS=64 timeout 1800 python bench.py 2> docs/bench_64ring.stderr
