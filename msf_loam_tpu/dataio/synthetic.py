@@ -138,6 +138,81 @@ class World:
                                       radius=0.12, height=5.0))
         return World(planes, poles, rects)
 
+    @staticmethod
+    def nsh_campus(seed: int = 0, sensor_height: float = 1.2) -> "World":
+        """Indoor corridor -> outdoor courtyard campus scene (the zero-egress
+        stand-in for the reference's NSH indoor-outdoor validation bag,
+        README.md:40-43: a handheld VLP-16 walked through a building out
+        into a courtyard and back).
+
+        Geometry: a 30 m corridor (3 m wide, 3.2 m ceiling) opening through
+        a doorway into a ~40x60 m courtyard enclosed by segmented building
+        facades, with tree/lamp poles. Wall segments carry depth jitter
+        (door recesses -> vertical corner features); the indoor->outdoor
+        transition flips the feature regime (ceiling+close walls vs ground
+        +far facades), which is exactly what the NSH sequence stresses.
+        Sensor height ~1.2 m (handheld)."""
+        rng = np.random.default_rng(seed)
+        z0, z1 = -sensor_height, 3.2 - sensor_height   # floor / ceiling
+        planes = [Plane(np.array([35.0, 0.0, z0]),
+                        np.array([0.0, 0.0, 1.0]), 200.0)]
+        rects: List[RectPlane] = []
+        X = np.array([1.0, 0.0, 0.0])
+        Y = np.array([0.0, 1.0, 0.0])
+
+        def seg_wall(axis_pt0, axis_pt1, fixed, axis, normal_sign, zc, zh,
+                     seg_len=4.0, jitter=0.15):
+            """Depth-jittered wall segments along ``axis`` at ``fixed``."""
+            n_seg = max(1, int(round((axis_pt1 - axis_pt0) / seg_len)))
+            cuts = np.linspace(axis_pt0, axis_pt1, n_seg + 1)
+            for k in range(n_seg):
+                depth = rng.uniform(-jitter, jitter)
+                c = np.zeros(3)
+                c[axis] = 0.5 * (cuts[k] + cuts[k + 1])
+                c[1 - axis] = fixed + normal_sign * depth
+                c[2] = zc
+                normal = np.zeros(3)
+                normal[1 - axis] = float(normal_sign)
+                u = X if axis == 0 else Y
+                rects.append(RectPlane(center=c, normal=normal, u=u.copy(),
+                                       half_u=0.5 * (cuts[k + 1] - cuts[k]),
+                                       half_v=zh))
+
+        zc_in = 0.5 * (z0 + z1)
+        zh_in = 0.5 * (z1 - z0)
+        # corridor x in [0, 30]: side walls (inward normals), end wall, ceiling
+        seg_wall(0.0, 30.0, 1.5, axis=0, normal_sign=-1, zc=zc_in, zh=zh_in,
+                 seg_len=3.0)
+        seg_wall(0.0, 30.0, -1.5, axis=0, normal_sign=+1, zc=zc_in, zh=zh_in,
+                 seg_len=3.0)
+        rects.append(RectPlane(center=np.array([0.0, 0.0, zc_in]),
+                               normal=X.copy(), u=Y.copy(),
+                               half_u=1.8, half_v=zh_in))
+        rects.append(RectPlane(center=np.array([15.0, 0.0, z1]),
+                               normal=np.array([0.0, 0.0, -1.0]), u=X.copy(),
+                               half_u=15.0, half_v=1.8))
+        # building front facade at x=30 (outward +x), doorway gap |y|<=2
+        zh_b = 5.0
+        zc_b = zh_b + z0
+        seg_wall(2.0, 40.0, 30.0, axis=1, normal_sign=+1, zc=zc_b, zh=zh_b)
+        seg_wall(-40.0, -2.0, 30.0, axis=1, normal_sign=+1, zc=zc_b, zh=zh_b)
+        # courtyard enclosure: far building x=70 (-x), sides y=+-30
+        seg_wall(-40.0, 40.0, 70.0, axis=1, normal_sign=-1, zc=zc_b, zh=zh_b)
+        seg_wall(30.0, 70.0, 30.0, axis=0, normal_sign=-1, zc=zc_b, zh=zh_b)
+        seg_wall(30.0, 70.0, -30.0, axis=0, normal_sign=+1, zc=zc_b, zh=zh_b)
+        # courtyard trees/lamps, kept clear of the walk route (y=0 and y=22
+        # corridors plus the x=34 / x=62 cross legs)
+        poles: List[Pole] = []
+        while len(poles) < 40:
+            x = rng.uniform(32.0, 68.0)
+            y = rng.uniform(-28.0, 28.0)
+            if (abs(y) < 2.5 or abs(y - 22.0) < 2.5
+                    or abs(x - 34.0) < 2.5 or abs(x - 62.0) < 2.5):
+                continue
+            poles.append(Pole(np.array([x, y, z0]), radius=0.14,
+                              height=float(rng.uniform(3.0, 6.0))))
+        return World(planes, poles, rects)
+
     def cull(self, origin: np.ndarray, max_range: float) -> "World":
         """Sub-world of primitives reachable from ``origin`` (raycast cost
         control for big street grids — full grids are ~300 rects/600 poles,
@@ -465,6 +540,48 @@ def synthetic_imu(path: VehiclePath, speed: float, t0: float, t1: float,
         gyro_body = gyro_body + rng.normal(scale=gyro_noise,
                                            size=gyro_body.shape)
     return times, accel_body, gyro_body
+
+
+def walk_states(path: VehiclePath, speed: float, times: np.ndarray,
+                accel: float = None, sway_deg: float = 2.0,
+                bob_amp: float = 0.03, step_hz: float = 1.8):
+    """Handheld-walk kinematic states: ``drive_states`` plus gait sway —
+    roll at the stride frequency, pitch at twice it, and a vertical bob.
+    Models the NSH handheld-VLP16 capture (reference README.md:40-43).
+
+    Only ``p``/``R`` are exact under sway; ``v_world``/``yaw_rate``/
+    ``accel_world`` remain the planar base values, so use sway with
+    UNDISTORTED simulation and non-IMU configs only.
+    """
+    st = drive_states(path, speed, times, accel=accel)
+    t = np.asarray(times, dtype=np.float64)
+    roll = np.radians(sway_deg) * np.sin(2 * np.pi * step_hz * t)
+    pitch = np.radians(sway_deg * 0.6) * np.sin(4 * np.pi * step_hz * t + 0.7)
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    n = len(t)
+    Rx = np.zeros((n, 3, 3))
+    Rx[:, 0, 0] = 1.0
+    Rx[:, 1, 1], Rx[:, 1, 2] = cr, -sr
+    Rx[:, 2, 1], Rx[:, 2, 2] = sr, cr
+    Ry = np.zeros((n, 3, 3))
+    Ry[:, 1, 1] = 1.0
+    Ry[:, 0, 0], Ry[:, 0, 2] = cp, sp
+    Ry[:, 2, 0], Ry[:, 2, 2] = -sp, cp
+    st["R"] = np.einsum("nij,njk,nkl->nil", st["R"], Rx, Ry)
+    st["p"] = st["p"].copy()
+    st["p"][:, 2] += bob_amp * np.sin(4 * np.pi * step_hz * t)
+    return st
+
+
+def nsh_route() -> np.ndarray:
+    """Waypoints for a walk through ``World.nsh_campus``: down the corridor,
+    out the doorway, a counterclockwise courtyard lap, and back into the
+    corridor — the indoor->outdoor->indoor loop of the NSH sequence."""
+    return np.array([
+        [2.0, 0.0], [34.0, 0.0], [62.0, 0.0], [62.0, 22.0],
+        [34.0, 22.0], [34.0, 0.0], [2.0, 0.0],
+    ])
 
 
 def street_route(n_blocks: int = 5, block: float = 48.0, street: float = 16.0,

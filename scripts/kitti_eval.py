@@ -26,9 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-SPEED = 10.0
-ACCEL = 2.0   # standstill-to-cruise ramp, KITTI-style
+SPEED = 10.0  # street-world defaults (KITTI-style drive)
+ACCEL = 2.0   # standstill-to-cruise ramp
 DT = 0.1
+
+# per-world presets: (speed, accel, rings, fov_up, fov_down, turn_radius)
+WORLDS = {
+    "street": (SPEED, ACCEL, 64, 2.0, -24.8, 8.0),
+    # handheld VLP-16 walk through World.nsh_campus (the reference's NSH
+    # indoor-outdoor validation analog, README.md:40-43)
+    "nsh": (1.5, 0.5, 16, 15.0, -15.0, 2.0),
+}
 
 
 def sim_params(args):
@@ -36,8 +44,13 @@ def sim_params(args):
     # (v2: distorted scans report returns in the capture-time sensor frame)
     d = dict(seed=args.seed, n_blocks=args.blocks, frames=args.frames,
              rings=args.rings, pts=args.pts, route=args.route,
-             speed=SPEED, accel=ACCEL, noise=args.noise,
+             speed=args.speed, accel=args.accel, noise=args.noise,
              distorted=args.distorted)
+    if args.world != "street":
+        # keyed only for non-street worlds so pre-existing street caches
+        # keep their hashes
+        d.update(world=args.world, fov_up=args.fov_up,
+                 fov_down=args.fov_down, sway=args.sway)
     if args.distorted:
         # v2: distorted scans report returns in the capture-time sensor
         # frame (undistorted output is identical across versions — those
@@ -56,11 +69,15 @@ def _sim_one(task):
     if params["distorted"]:
         kw = dict(linear_vel=blob["v_world"][i],
                   yaw_rate=float(blob["yaw_rate"][i]))
-    world = synthetic.World.street_grid(seed=params["seed"],
-                                        n_blocks=params["n_blocks"])
+    if params.get("world", "street") == "nsh":
+        world = synthetic.World.nsh_campus(seed=params["seed"])
+    else:
+        world = synthetic.World.street_grid(seed=params["seed"],
+                                            n_blocks=params["n_blocks"])
     xyz, ring = synthetic.simulate_scan(
         world, p, R, n_rings=params["rings"], pts_per_ring=params["pts"],
-        fov_up=2.0, fov_down=-24.8, max_range=80.0, noise=params["noise"],
+        fov_up=params.get("fov_up", 2.0), fov_down=params.get("fov_down", -24.8),
+        max_range=80.0, noise=params["noise"],
         seed=1000 + i, **kw)
     np.savez_compressed(out_file, xyz=xyz, ring=ring.astype(np.uint8))
     return i
@@ -74,15 +91,23 @@ def simulate_cached(args):
     cache = os.path.join(args.cache_dir, key)
     os.makedirs(cache, exist_ok=True)
 
-    wps = synthetic.street_route(n_blocks=args.blocks, route=args.route)
-    path = synthetic.VehiclePath.from_waypoints(wps, turn_radius=8.0)
+    if args.world == "nsh":
+        wps = synthetic.nsh_route()
+    else:
+        wps = synthetic.street_route(n_blocks=args.blocks, route=args.route)
+    path = synthetic.VehiclePath.from_waypoints(
+        wps, turn_radius=WORLDS[args.world][5])
     times = np.arange(args.frames) * DT
-    need = float(synthetic.speed_profile(times[-1:], SPEED, ACCEL)[0][0])
+    need = float(synthetic.speed_profile(times[-1:], args.speed,
+                                         args.accel)[0][0])
     if need > path.total_length:
         raise SystemExit(
             f"route too short: need {need:.0f} m, route {path.total_length:.0f} m"
             f" — raise --blocks or lower --frames")
-    st = synthetic.drive_states(path, SPEED, times, accel=ACCEL)
+    if args.sway:
+        st = synthetic.walk_states(path, args.speed, times, accel=args.accel)
+    else:
+        st = synthetic.drive_states(path, args.speed, times, accel=args.accel)
     path_file = os.path.join(cache, "states.npz")
     np.savez(path_file, **st, times=times)
 
@@ -113,7 +138,11 @@ def load_frame(cache, i):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=1000)
-    ap.add_argument("--rings", type=int, default=64)
+    ap.add_argument("--world", default="street", choices=sorted(WORLDS),
+                    help="street = KITTI-style urban drive (HDL-64); "
+                         "nsh = indoor-outdoor campus walk (VLP-16)")
+    ap.add_argument("--rings", type=int, default=None,
+                    help="default: per-world (street 64, nsh 16)")
     ap.add_argument("--pts", type=int, default=1800)
     ap.add_argument("--blocks", type=int, default=5)
     ap.add_argument("--route", default="tour", choices=["tour", "lap"])
@@ -142,6 +171,14 @@ def main():
     configs = args.configs.split(",")
     if "lio" in configs and not args.distorted:
         args.distorted = True  # lio is only meaningful on distorted scans
+    args.speed, args.accel, rings_d, args.fov_up, args.fov_down, _ = \
+        WORLDS[args.world]
+    if args.rings is None:
+        args.rings = rings_d
+    # handheld gait sway for the nsh walk — only where the simulator and
+    # IMU synthesis stay exact (they model planar base motion)
+    args.sway = (args.world == "nsh" and not args.distorted
+                 and "lio" not in configs)
 
     cache, st, path = simulate_cached(args)
     if args.sim_only:
@@ -250,9 +287,9 @@ def main():
     traj = None
     keyframes = {}
     want_loop = "loop" in configs
-    if want_loop and args.route != "lap":
-        raise SystemExit("--configs loop requires --route lap "
-                         "(a closed circuit with a genuine revisit)")
+    if want_loop and args.route != "lap" and args.world != "nsh":
+        raise SystemExit("--configs loop requires --route lap or --world nsh "
+                         "(a route with a genuine revisit)")
     if "map" in configs or "gps" in configs or want_loop:
         import dataclasses as _dc
 
@@ -324,7 +361,8 @@ def main():
             imu=ImuConfig(init_frames=30, warmup_msgs=50))
         pipe = SlamPipeline(lio_cfg)
         tt, acc, gyr = synthetic.synthetic_imu(
-            path, SPEED, -0.5, n * DT + 0.3, rate=400.0, accel=ACCEL)
+            path, args.speed, -0.5, n * DT + 0.3, rate=400.0,
+            accel=args.accel)
         # feed IMU stream interleaved ahead of each scan
         j = 0
         for i, img in frame_iter("lio"):
