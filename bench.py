@@ -88,12 +88,16 @@ def main():
         sw = surf_ds.transform(mres.pose)
         cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)
         smap = voxel_map.insert(smap, sw.xyz, sw.mask)
-        return (cmap, smap, feats, odo.pose_curr2last, mres.pose), mres.cost
+        # carry only what the next frame's odometry reads — threading the
+        # full-res cloud through the scan carry costs a multi-MB copy/frame
+        return (cmap, smap, feats.strip_full(), odo.pose_curr2last,
+                mres.pose), mres.cost
 
     @jax.jit
     def run_frames(cmap, smap):
         feats0 = feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
-        carry = (cmap, smap, feats0, Pose.identity(), Pose.identity())
+        carry = (cmap, smap, feats0.strip_full(), Pose.identity(),
+                 Pose.identity())
         carry, costs = jax.lax.scan(frame_step, carry, None, length=N_FRAMES)
         return costs
 

@@ -88,6 +88,21 @@ class ScanFeatures(NamedTuple):
     surf_flat: PointBatch        # cloud_surf_flat
     surf_less_flat: PointBatch   # cloud_surf_less_flat
 
+    def strip_full(self) -> "ScanFeatures":
+        """Drop the full-resolution cloud (keep a 0-capacity stub).
+
+        The scan-to-scan matcher only reads the less-sharp / less-flat
+        clouds of the previous scan; threading the (R*W)-point full cloud
+        through a ``lax.scan`` carry costs a multi-MB copy per frame
+        (xprof: ~4x 0.9 ms async slices at 64-ring scale). Use this for
+        on-device frame loops; keep ``full`` where deskewed artifacts /
+        loop keyframes are consumed (run_slam, imu.deskew). Slices the
+        point axis to zero so leading (batch) axes survive; idempotent."""
+        pb = self.full
+        return self._replace(full=PointBatch(
+            xyz=pb.xyz[..., :0, :], rel_time=pb.rel_time[..., :0],
+            ring=pb.ring[..., :0], mask=pb.mask[..., :0]))
+
     def transform(self, pose: Pose) -> "ScanFeatures":
         return self._replace(
             full=self.full.transform(pose),

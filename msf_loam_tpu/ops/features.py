@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from msf_loam_tpu.config import FeatureConfig
 from msf_loam_tpu.core.pointcloud import PointBatch, RingImage, ScanFeatures
-from msf_loam_tpu.ops.voxel import voxel_downsample_masked
+from msf_loam_tpu.ops.voxel import (voxel_downsample_compact_idx,
+                                    voxel_downsample_masked)
 
 Array = jax.Array
 
@@ -140,6 +141,28 @@ def _suppression_offsets(picked_w: Array, gap: Array, n_suppress: int,
     return suppress
 
 
+def _topk_iter(x: Array, k: int) -> Tuple[Array, Array]:
+    """Exact top-k along the last axis by k iterative argmax passes.
+
+    ``lax.top_k`` compiles to a FULL sort of the (R, S, W) score tensor on
+    TPU (xprof: ~1.4 ms per call at 64x6x2048); k passes of argmax+mask are
+    pure VPU reductions (~10x cheaper for k <= 6). Tie behavior matches
+    top_k: equal values surface in ascending-index order (argmax returns
+    the first maximum).
+    """
+    vals, idxs = [], []
+    pos = jnp.arange(x.shape[-1])
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        if len(vals) < k:
+            cur = jnp.where(pos == i[..., None], -_BIG, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
                  cfg: FeatureConfig, n_total: int, maximize: bool,
                  curv_gate, picks_per_round: int = 5,
@@ -177,7 +200,7 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
     def round_fn(suppressed, _):
         avail = jnp.where(suppressed, -_BIG, score)  # (R, W)
         per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)  # (R, W, S)
-        vals, idxs = jax.lax.top_k(per_sec.transpose(0, 2, 1), T)  # (R, S, T)
+        vals, idxs = _topk_iter(per_sec.transpose(0, 2, 1), T)  # (R, S, T)
         ok = vals > -_BIG * 0.5
 
         # within-round pairwise suppression across the whole ring
@@ -340,10 +363,12 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     # Default off: the global filter is trajectory-equivalent and ~2x
     # sparser (A/B measured in docs/RESULTS.md).
     lf_salt = lf_ring if cfg.less_flat_per_ring else None
-    lf_keep = voxel_downsample_masked(lf_xyz, less_flat_mask.reshape(-1),
-                                      cfg.less_flat_leaf, salt=lf_salt)
-    lf = PointBatch(lf_xyz, lf_rel, lf_ring.astype(jnp.int32), lf_keep)
-    lf = _compact(lf, cfg.max_less_flat)
+    lf_idx, lf_valid = voxel_downsample_compact_idx(
+        lf_xyz, less_flat_mask.reshape(-1), cfg.less_flat_leaf,
+        cfg.max_less_flat, salt=lf_salt)
+    lf = PointBatch(
+        xyz=lf_xyz[lf_idx], rel_time=lf_rel[lf_idx],
+        ring=lf_ring[lf_idx].astype(jnp.int32), mask=lf_valid)
 
     full = PointBatch(
         xyz=ring_image.xyz.reshape(-1, 3),
@@ -359,13 +384,4 @@ def extract_features(ring_image: RingImage, scan_time: Array,
         corner_less_sharp=less_sharp,
         surf_flat=flat,
         surf_less_flat=lf,
-    )
-
-
-def _compact(pb: PointBatch, capacity: int) -> PointBatch:
-    """Stable-partition valid points to the front and cut to capacity."""
-    order = jnp.argsort(~pb.mask, stable=True)[:capacity]
-    return PointBatch(
-        xyz=pb.xyz[order], rel_time=pb.rel_time[order],
-        ring=pb.ring[order], mask=pb.mask[order],
     )

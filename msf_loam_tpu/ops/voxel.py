@@ -59,6 +59,37 @@ def voxel_downsample_masked(xyz: Array, mask: Array, leaf: float,
     return keep & mask
 
 
+def voxel_downsample_compact_idx(xyz: Array, mask: Array, leaf: float,
+                                 capacity: int,
+                                 salt: Array | None = None):
+    """Voxel dedup + front-compaction in ONE sort pass.
+
+    Returns (idx (capacity,) int32, valid (capacity,) bool): indices of one
+    representative (lowest original index) per occupied voxel, in voxel-key
+    order, padded with 0 where fewer than ``capacity`` voxels are occupied.
+    Equivalent to ``voxel_downsample_masked`` followed by a stable
+    compaction, but skips the second full-length argsort (at 64-ring scale
+    that second sort over R*W=131k elements costs ~1 ms on TPU — xprof).
+    """
+    n = xyz.shape[0]
+    key = voxel_keys(xyz, leaf)
+    if salt is not None:
+        key = key ^ (salt.astype(jnp.int32) * jnp.int32(40503))
+    key = jnp.where(mask, key,
+                    jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
+    order = jnp.argsort(key, stable=True)
+    ks = key[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    keep = first & mask[order]
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1          # rank among kept
+    dest = jnp.where(keep & (rank < capacity), rank, capacity)
+    idx = jnp.zeros((capacity,), jnp.int32).at[dest].set(
+        order.astype(jnp.int32), mode="drop")
+    n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    valid = jnp.arange(capacity) < n_kept
+    return idx, valid
+
+
 def voxel_downsample_centroid(xyz: Array, mask: Array, leaf: float,
                               capacity: int):
     """Centroid-style voxel filter (closer to pcl::VoxelGrid semantics).

@@ -68,7 +68,7 @@ def init_batch_state(cfg: MsfLoamConfig, batch: int, n_rings: int) -> BatchState
     return BatchState(
         corner_map=fused_c,
         surf_map=fused_s,
-        prev_feats=tile(feats0),
+        prev_feats=tile(feats0.strip_full()),
         pose_c2l=Pose.identity((batch,)),
         pose_odom=Pose.identity((batch,)),
         pose_o2m=Pose.identity((batch,)),
@@ -289,7 +289,8 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     surf_map = _fused_insert(state.surf_map, H, sw, s_mask)
 
     new_state = BatchState(
-        corner_map=corner_map, surf_map=surf_map, prev_feats=feats,
+        corner_map=corner_map, surf_map=surf_map,
+        prev_feats=feats.strip_full(),
         pose_c2l=pose_c2l, pose_odom=pose_odom, pose_o2m=pose_o2m,
         frame_idx=state.frame_idx + 1)
     return new_state, pose_map
