@@ -116,51 +116,20 @@ def _gap_sq(xyz: Array) -> Array:
     return g.at[:, -1].set(_BIG)
 
 
-def _suppression_offsets(picked_w: Array, gap: Array, n_suppress: int,
-                         gap_sq_max: float) -> Array:
-    """Given one-hot pick positions (R, W), compute the ±n_suppress
-    suppression mask with the gap²-break rule (msf_loam_node.cc:288-303).
-
-    A forward neighbor at offset l (1..n) is suppressed iff
-    gap[ind], .., gap[ind+l-1] are all <= gap_sq_max; symmetric backward.
-    """
-    ok = gap <= gap_sq_max  # (R, W) — link i <-> i+1 is "continuous"
-    suppress = jnp.zeros_like(picked_w, dtype=bool)
-    # forward chain
-    chain = picked_w
-    for l in range(1, n_suppress + 1):
-        chain = chain & ok  # link from current position to the next survives
-        chain = jnp.roll(chain, 1, axis=1).at[:, 0].set(False)
-        suppress = suppress | chain
-    # backward chain: link from i-1 to i is gap[i-1]
-    chain = picked_w
-    for l in range(1, n_suppress + 1):
-        chain = chain & jnp.roll(ok, 1, axis=1).at[:, 0].set(False)
-        chain = jnp.roll(chain, -1, axis=1).at[:, -1].set(False)
-        suppress = suppress | chain
-    return suppress
-
-
 def _topk_iter(x: Array, k: int) -> Tuple[Array, Array]:
-    """Exact top-k along the last axis by k iterative argmax passes.
+    """Exact top-k along the last axis (ties surface in ascending-index
+    order, same as iterative argmax).
 
-    ``lax.top_k`` compiles to a FULL sort of the (R, S, W) score tensor on
-    TPU (xprof: ~1.4 ms per call at 64x6x2048); k passes of argmax+mask are
-    pure VPU reductions (~10x cheaper for k <= 6). Tie behavior matches
-    top_k: equal values surface in ascending-index order (argmax returns
-    the first maximum).
-    """
-    vals, idxs = [], []
-    pos = jnp.arange(x.shape[-1])
-    cur = x
-    for _ in range(k):
-        i = jnp.argmax(cur, axis=-1)
-        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
-        vals.append(v)
-        idxs.append(i.astype(jnp.int32))
-        if len(vals) < k:
-            cur = jnp.where(pos == i[..., None], -_BIG, cur)
-    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+    k == 1 lowers to a plain argmax reduction — measurably cheaper than
+    the TPU TopK custom call (~0.35 ms per 64x6x2048 call); k > 1 uses
+    ``lax.top_k`` (the old "top_k compiles to a full sort" note is stale,
+    and the k-pass argmax fallback it justified was slower for k >= 6)."""
+    if k == 1:
+        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        v = jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
+        return v[..., None], i[..., None]
+    vals, idxs = jax.lax.top_k(x, k)
+    return vals, idxs.astype(jnp.int32)
 
 
 def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
@@ -187,7 +156,10 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
     S = cfg.num_sectors
     T = picks_per_round
     n_rounds = -(-n_total // T)
-    sec_onehot = sector[:, :, None] == jnp.arange(S)[None, None, :]  # (R, W, S)
+    # (R, S, W) layout: W stays the minor (lane) dim — a (R, W, S) tensor
+    # pads S=6 up to the 128-lane tile and then needs a relayout before
+    # the per-sector top_k
+    sec_onehot = sector[:, None, :] == jnp.arange(S)[None, :, None]  # (R, S, W)
 
     score = curv if maximize else -curv
     score = jnp.where(base_mask & curv_gate(curv), score, -_BIG)
@@ -199,8 +171,8 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
 
     def round_fn(suppressed, _):
         avail = jnp.where(suppressed, -_BIG, score)  # (R, W)
-        per_sec = jnp.where(sec_onehot, avail[:, :, None], -_BIG)  # (R, W, S)
-        vals, idxs = _topk_iter(per_sec.transpose(0, 2, 1), T)  # (R, S, T)
+        per_sec = jnp.where(sec_onehot, avail[:, None, :], -_BIG)  # (R, S, W)
+        vals, idxs = _topk_iter(per_sec, T)          # (R, S, T)
         ok = vals > -_BIG * 0.5
 
         # within-round pairwise suppression across the whole ring
@@ -217,20 +189,28 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
         dominated = jnp.any(near & unbroken & better & fok[:, None, :], axis=2)
         keep = fok & ~dominated
 
-        pick = jnp.where(keep, fi, -1).astype(jnp.int32)      # (R, ST)
-        picked_w = jnp.zeros((R, W), bool).at[
-            jnp.repeat(jnp.arange(R), S * T), pick.reshape(-1)
-        ].max(keep.reshape(-1), mode="drop")
-        new_sup = _suppression_offsets(picked_w, gap, cfg.neighbor_suppress,
-                                       cfg.neighbor_gap_sq)
+        # picks + their ±n gap-chain neighbors, scatter-free: position w is
+        # newly suppressed iff some surviving pick p of this round has
+        # |w - fi_p| <= n with an unbroken gap chain between them
+        # (cb0[w] == cb0[fi_p] counts broken links on the open interval;
+        # w == fi_p marks the pick itself). A TPU scatter here costs
+        # ~0.36 ms/round; this broadcast-compare is the same result at
+        # memory bandwidth.
+        w_pos = jnp.arange(W, dtype=fi.dtype)[None, None, :]   # (1, 1, W)
+        near_w = jnp.abs(w_pos - fi[:, :, None]) <= cfg.neighbor_suppress
+        chain_w = cb0[:, None, :] == fcb[:, :, None]
+        picked_or_sup = jnp.any(near_w & chain_w & keep[:, :, None], axis=1)
         # emit in (T, R, S) order so round-major slots sort by score
         pick_trs = jnp.where(keep, fi, -1).reshape(R, S, T).transpose(2, 0, 1)
-        return suppressed | picked_w | new_sup, pick_trs.astype(jnp.int32)
+        return suppressed | picked_or_sup, pick_trs.astype(jnp.int32)
 
     if suppressed0 is None:
         suppressed0 = jnp.zeros((R, W), bool)
+    # full unroll: rounds are few (<=4) and unrolling lets XLA fuse the
+    # mask/top_k chains across rounds instead of round-tripping the scan
+    # carry through HBM each iteration
     suppressed, picks = jax.lax.scan(round_fn, suppressed0, None,
-                                     length=n_rounds)
+                                     length=n_rounds, unroll=True)
     picks = picks.reshape(n_rounds * T, R, S)
     return picks, suppressed
 
@@ -304,11 +284,11 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     # ground-dominated rings (street scenes) the per-sector top-k otherwise
     # has no real edge to pick and promotes pure range-noise spikes — 80% of
     # the corner budget became ground noise and biased the mapping solve.
-    S_oh = (sector[:, :, None] == jnp.arange(S)[None, None, :])
+    S_oh = (sector[:, None, :] == jnp.arange(S)[None, :, None])   # (R, S, W)
     smooth = eligible & (curv < cfg.curvature_threshold)
-    w_sm = (S_oh & smooth[:, :, None]).astype(jnp.float32)
-    sec_mean = (jnp.einsum("rws,rw->rs", w_sm, curv)
-                / jnp.maximum(jnp.sum(w_sm, axis=1), 1.0))        # (R, S)
+    w_sm = (S_oh & smooth[:, None, :]).astype(jnp.float32)
+    sec_mean = (jnp.einsum("rsw,rw->rs", w_sm, curv)
+                / jnp.maximum(jnp.sum(w_sm, axis=2), 1.0))        # (R, S)
     gate_rs = jnp.maximum(cfg.curvature_threshold,
                           cfg.corner_gate_factor * sec_mean)
     corner_gate_arr = jnp.take_along_axis(

@@ -75,19 +75,25 @@ def voxel_downsample_compact_idx(xyz: Array, mask: Array, leaf: float,
     key = voxel_keys(xyz, leaf)
     if salt is not None:
         key = key ^ (salt.astype(jnp.int32) * jnp.int32(40503))
-    key = jnp.where(mask, key,
-                    jnp.arange(n, dtype=jnp.int32) | jnp.int32(-2147483648))
-    order = jnp.argsort(key, stable=True)
-    ks = key[order]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(mask, key, iota | jnp.int32(-2147483648))
+    # Multi-operand sort carries the permutation AND the mask through in
+    # one pass — `key[order]` / `mask[order]` random gathers at this size
+    # cost ~1 ms each on TPU, the extra sort operands are ~free.
+    ks, order, mask_s = jax.lax.sort(
+        [key, iota, mask.astype(jnp.int32)], num_keys=1, is_stable=True)
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    keep = first & mask[order]
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1          # rank among kept
-    dest = jnp.where(keep & (rank < capacity), rank, capacity)
-    idx = jnp.zeros((capacity,), jnp.int32).at[dest].set(
-        order.astype(jnp.int32), mode="drop")
-    n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
-    valid = jnp.arange(capacity) < n_kept
-    return idx, valid
+    keep = first & (mask_s == 1)
+    # compact by rank WITHOUT a scatter: the kept positions are already in
+    # output order, so the first `capacity` of them are exactly the
+    # `capacity` smallest sorted-array positions among `keep` — one top_k.
+    # (A 131k-update scatter costs ~0.6 ms on TPU; this is ~0.1 ms.)
+    posval = jnp.where(keep, iota, jnp.int32(2**30))
+    neg_p, _ = jax.lax.top_k(-posval, capacity)
+    p = -neg_p                                   # ascending kept positions
+    valid = p < jnp.int32(2**30)
+    idx = order[jnp.minimum(p, n - 1)].astype(jnp.int32)
+    return jnp.where(valid, idx, 0), valid
 
 
 def voxel_downsample_centroid(xyz: Array, mask: Array, leaf: float,
