@@ -266,7 +266,24 @@ def main(argv=None) -> int:
         # bag replay: scans + IMU + gt odometry in timestamp order
         # (the reference's offline rosbag loop, msf_loam_node.cc:448-459)
         from msf_loam_tpu.dataio.npz_bag import Bag, ImuMsg, OdomMsg, ScanMsg
-        bag = Bag(args.bag)
+        bag_path = args.bag
+        with open(bag_path, "rb") as _f:
+            is_rosbag = _f.read(13) == b"#ROSBAG V2.0\n"
+        if is_rosbag:
+            # real ROS1 bag: convert via the pure-Python reader
+            # (dataio/rosbag.py), cached next to the outputs
+            from msf_loam_tpu.dataio.rosbag import bag_to_npz
+            os.makedirs(args.output_dir, exist_ok=True)
+            conv = os.path.join(
+                args.output_dir,
+                os.path.splitext(os.path.basename(bag_path))[0]
+                + ".converted.npz")
+            if not os.path.exists(conv):
+                counts = bag_to_npz(bag_path, conv)
+                logger.info("converted ROS bag %s -> %s (%s)", bag_path,
+                            conv, counts)
+            bag_path = conv
+        bag = Bag(bag_path)
         pipe = _make_pipeline(cfg, args)
         counter = 0
         n_scans = 0
