@@ -58,6 +58,24 @@ class OdometryConfig:
     gn_iterations: int = 6             # ceres max_num_iterations (odometry_scan_matcher.cc:271)
     huber_delta: float = 0.1           # HuberLoss(0.1) (odometry_scan_matcher.cc:67)
     min_correspondences: int = 10      # (odometry_scan_matcher.cc:262)
+    # plane correspondence construction: "fit" = 5-point structured support
+    # (a + 2 same-ring + 2 different-ring) with a TLS plane + planarity
+    # gate — measurably removes the systematic body-frame pull the 3-point
+    # triangle's noise-dominated normals inject (scripts/diag_odometry.py);
+    # "triangle" = the reference's exact a/b/c construction
+    # (odometry_scan_matcher.cc:172-232).
+    plane_corr: str = "fit"
+    plane_fit_tol: float = 0.2         # planarity bound for plane_corr="fit"
+    plane_support_extra: int = 4       # extra nearest-any-ring support points
+    # reject correspondences whose point-to-line/plane residual at the live
+    # estimate exceeds this (meters; 0 disables). The enabled form of the
+    # reference's commented-out RefineByRejectOutliersWithThreshold
+    # (scan_matcher.cc:13-38) — kills newly-revealed-surface mismatches
+    # whose signed pull Huber only caps.
+    corr_max_resid: float = 0.75
+    # gate relaxation factor for all but the final re-association round
+    # (the warm start can be decimeters off at turn onset)
+    corr_gate_relax: float = 2.0
     # reproject mapping/insert inputs to scan start with the constant-
     # velocity motion prior (classic LOAM TransformToStart; the reference
     # ships with its DISTORTION flag off and leaves lidar-only scans

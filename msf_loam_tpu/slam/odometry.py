@@ -68,7 +68,8 @@ class PlaneCorrespondences(NamedTuple):
 
 
 def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
-                              cfg: OdometryConfig) -> EdgeCorrespondences:
+                              cfg: OdometryConfig,
+                              gate_scale: float = 1.0) -> EdgeCorrespondences:
     q_world = pose.apply(query.xyz)
     d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
 
@@ -88,11 +89,20 @@ def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
     nrm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     line_n = direction / jnp.maximum(nrm, 1e-12)
     valid = a_ok & b_ok & (nrm[:, 0] > 1e-6)
+    if cfg.corr_max_resid > 0:
+        # residual gate at the live estimate (see the plane variant): kills
+        # newly-revealed edge points matched to unrelated structures
+        d_line = jnp.linalg.norm(
+            jnp.cross(line_n, q_world - a_xyz), axis=-1)
+        valid = valid & (d_line < gate_scale * cfg.corr_max_resid)
     return EdgeCorrespondences(query.xyz, a_xyz, line_n, valid)
 
 
 def find_plane_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
-                               cfg: OdometryConfig) -> PlaneCorrespondences:
+                               cfg: OdometryConfig,
+                               gate_scale: float = 1.0
+                               ) -> PlaneCorrespondences:
+    del gate_scale  # reference-parity construction: no residual gate
     q_world = pose.apply(query.xyz)
     d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
 
@@ -122,6 +132,80 @@ def find_plane_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
     normal = nvec / jnp.maximum(nrm, 1e-12)
     valid = a_ok & b_ok & c_ok & (nrm[:, 0] > 1e-9)
     return PlaneCorrespondences(query.xyz, center, normal, valid)
+
+
+def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
+                                   pose: Pose, cfg: OdometryConfig,
+                                   gate_scale: float = 1.0
+                                   ) -> PlaneCorrespondences:
+    """Plane correspondence via a 5-point structured support + TLS fit.
+
+    The reference's 3-point triangle (a; b same ring; c different ring,
+    odometry_scan_matcher.cc:172-232) spans the surface with a ~3.5 cm
+    same-ring baseline — at 1 cm range noise the triangle normal is noise-
+    dominated, and measured on the street world the noisy normals couple
+    into a systematic body-frame pull (diag_odometry.py: plane-class
+    gradient at the TRUE pose [3.6, 1.0, 2.3 | 35, -19, 13] — a
+    -2 cm/frame forward and -0.06/-0.03 deg/frame roll/yaw bias in the
+    odometry chain). This variant keeps the same structured ring-aware
+    selection but widens the support to 5 points (a + 2 nearest same-ring
+    + 2 nearest different-ring) and fits a total-least-squares plane with
+    the mapping stage's planarity tolerance — averaging the noise AND
+    rejecting supports that straddle depth-jittered facade segments
+    (non-planar -> fit invalid) instead of letting Huber merely cap their
+    signed pull."""
+    q_world = pose.apply(query.xyz)
+    d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
+
+    a_min = jnp.min(d2, axis=1)
+    a_sel = jnp.argmin(d2, axis=1)
+    a_ok = (a_min < cfg.dist_sq_threshold) & query.mask
+    ring_a = ref.ring[a_sel]
+    not_a = jnp.arange(d2.shape[1])[None, :] != a_sel[:, None]
+    same_ring = (ref.ring[None, :] == ring_a[:, None]) & not_a
+    dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
+    diff_ring = (dr > 0) & (dr <= cfg.nearby_scan)
+
+    b_vals, b_idx = jax.lax.top_k(-jnp.where(same_ring, d2, jnp.inf), 2)
+    c_vals, c_idx = jax.lax.top_k(-jnp.where(diff_ring, d2, jnp.inf), 2)
+    sup_idx = jnp.concatenate([a_sel[:, None], b_idx, c_idx], axis=1)  # (N,5)
+    sup_ok = jnp.concatenate(
+        [a_ok[:, None],
+         -b_vals < cfg.dist_sq_threshold,
+         -c_vals < cfg.dist_sq_threshold], axis=1)
+    if cfg.plane_support_extra > 0:
+        # widen with the k nearest on ANY nearby ring (may duplicate the
+        # structured picks — a duplicate merely double-weights a true
+        # measurement). Near-field ground supports otherwise span only
+        # ~2 voxel leaves; with 1 cm range noise the TLS normal tilts by
+        # several percent and the residual couples tilt x query-offset
+        # into a systematic roll pull (scripts/diag_odometry.py probe).
+        any_near = (dr <= cfg.nearby_scan)
+        e_vals, e_idx = jax.lax.top_k(-jnp.where(any_near, d2, jnp.inf),
+                                      cfg.plane_support_extra)
+        sup_idx = jnp.concatenate([sup_idx, e_idx], axis=1)
+        sup_ok = jnp.concatenate(
+            [sup_ok, -e_vals < cfg.dist_sq_threshold], axis=1)
+
+    from msf_loam_tpu.ops import fitting
+
+    neighbors = ref.xyz[sup_idx]                                 # (N, 5, 3)
+    fit = fitting.fit_planes(neighbors, sup_ok, cfg.plane_fit_tol)
+    valid = a_ok & fit.valid
+    if cfg.corr_max_resid > 0:
+        # residual gate at the live estimate: newly-REVEALED surface points
+        # (occlusion boundary sweeping as the sensor advances) have no true
+        # counterpart in the last scan; their nearest neighbors are wrong
+        # surfaces within the reference's loose 5 m NN gate (e.g. facade
+        # bottoms matched to ground 2 m below) and their pull is
+        # systematically signed — Huber caps it but never zeroes it
+        # (measured: a persistent left-side +0.08 m mean plane residual on
+        # street drives, scripts/diag_odometry.py). The reference's
+        # RefineByRejectOutliersWithThreshold is exactly this gate, shipped
+        # commented out (scan_matcher.cc:13-38).
+        resid = jnp.abs(jnp.sum(fit.normal * (q_world - fit.center), axis=-1))
+        valid = valid & (resid < gate_scale * cfg.corr_max_resid)
+    return PlaneCorrespondences(query.xyz, fit.center, fit.normal, valid)
 
 
 class OdometryResult(NamedTuple):
@@ -157,14 +241,24 @@ def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
     pose = pose0
     n_corr = jnp.float32(0.0)
     cost = jnp.float32(0.0)
-    for _ in range(cfg.outer_rounds):
+    for rnd in range(cfg.outer_rounds):
+        # residual-gate schedule: relaxed on early rounds (the warm start
+        # can be decimeters off at turn onset — a tight gate there starves
+        # the far correspondences that observe rotation), tight on the
+        # final round where the estimate has converged
+        gate_scale = (cfg.corr_gate_relax
+                      if rnd < cfg.outer_rounds - 1 else 1.0)
         q_corner = scan_curr.corner_sharp
         q_surf = scan_curr.surf_flat
         if cfg.deskew:
             q_corner = undistort_from_motion(q_corner, pose, cfg.scan_period)
             q_surf = undistort_from_motion(q_surf, pose, cfg.scan_period)
-        edges = find_edge_correspondences(q_corner, ref_corner, pose, cfg)
-        planes = find_plane_correspondences(q_surf, ref_surf, pose, cfg)
+        edges = find_edge_correspondences(q_corner, ref_corner, pose, cfg,
+                                          gate_scale)
+        find_planes = (find_plane_correspondences_fit
+                       if cfg.plane_corr == "fit"
+                       else find_plane_correspondences)
+        planes = find_planes(q_surf, ref_surf, pose, cfg, gate_scale)
         n_corr = (jnp.sum(edges.valid.astype(jnp.float32))
                   + jnp.sum(planes.valid.astype(jnp.float32)))
 

@@ -166,6 +166,9 @@ def main():
     ap.add_argument("--feature_overrides", default=None,
                     help="JSON dict of FeatureConfig field overrides "
                          "(ablations, e.g. '{\"corner_gate_factor\": 0}')")
+    ap.add_argument("--odo_overrides", default=None,
+                    help="JSON dict of OdometryConfig field overrides "
+                         "(e.g. '{\"plane_corr\": \"triangle\"}')")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     configs = args.configs.split(",")
@@ -207,7 +210,10 @@ def main():
     fcfg = FeatureConfig(**fkw)
     # distorted scans: reproject with the constant-velocity motion prior
     # (real-sensor semantics; undistorted sims must NOT apply it)
-    ocfg = OdometryConfig(motion_deskew=args.distorted)
+    okw = dict(motion_deskew=args.distorted)
+    if args.odo_overrides:
+        okw.update(json.loads(args.odo_overrides))
+    ocfg = OdometryConfig(**okw)
     cfg = MsfLoamConfig(
         features=fcfg, odometry=ocfg,
         mapping=MappingConfig(map_table_size=1 << 15, max_query_points=4096))
