@@ -161,31 +161,53 @@ def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
     a_sel = jnp.argmin(d2, axis=1)
     a_ok = (a_min < cfg.dist_sq_threshold) & query.mask
     ring_a = ref.ring[a_sel]
-    not_a = jnp.arange(d2.shape[1])[None, :] != a_sel[:, None]
-    same_ring = (ref.ring[None, :] == ring_a[:, None]) & not_a
     dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
     diff_ring = (dr > 0) & (dr <= cfg.nearby_scan)
 
-    b_vals, b_idx = jax.lax.top_k(-jnp.where(same_ring, d2, jnp.inf), 2)
-    c_vals, c_idx = jax.lax.top_k(-jnp.where(diff_ring, d2, jnp.inf), 2)
-    sup_idx = jnp.concatenate([a_sel[:, None], b_idx, c_idx], axis=1)  # (N,5)
-    sup_ok = jnp.concatenate(
-        [a_ok[:, None],
-         -b_vals < cfg.dist_sq_threshold,
-         -c_vals < cfg.dist_sq_threshold], axis=1)
+    # c: nearest DIFFERENT-ring point, exact over the full row. This is the
+    # completeness guarantee a small candidate list cannot give: on
+    # surfaces grazed along the ring the K nearest are ALL same-ring
+    # (voxel-leaf spacing ~0.2 m vs multi-meter ring spacing at range) and
+    # the cross-ring span — the only z-observability on far ground — never
+    # surfaces (same lesson as the edge b-search, _corr_d2 docstring).
+    c_d2 = jnp.where(diff_ring, d2, jnp.inf)
+    c_min = jnp.min(c_d2, axis=1)
+    c_sel = jnp.argmin(c_d2, axis=1)
+    c_ok = c_min < cfg.dist_sq_threshold
+
+    # everything else selects from ONE K-candidate pass. Exact masked
+    # top_k over the (N, M) row costs ~4 ms/call on TPU (sort-based); the
+    # measured fused-loop cost of three of them was 13 ms/scan — 67% of
+    # the batched frame. approx_min_k is the TPU-native binned reduction
+    # (recall ~0.95 at K=16; a missed candidate only narrows a plane
+    # support by one point).
+    K = 16
+    cand_d2, cand_idx = jax.lax.approx_min_k(d2, K)              # (N, K)
+    ring_cand = ref.ring[cand_idx]
+    cand_ok = cand_d2 < cfg.dist_sq_threshold
+    is_a = cand_idx == a_sel[:, None]
+    same_c = (ring_cand == ring_a[:, None]) & ~is_a & cand_ok
+    drc = jnp.abs(ring_cand - ring_a[:, None]).astype(jnp.float32)
+    near_c = (drc <= cfg.nearby_scan) & cand_ok
+
+    def pick(mask, k):
+        vals, pos = jax.lax.top_k(jnp.where(mask, -cand_d2, -jnp.inf), k)
+        idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+        return idx, vals > -jnp.inf * 0.5
+
+    b_idx, b_ok = pick(same_c, 2)                # 2 nearest same-ring
+    sup_idx = jnp.concatenate([a_sel[:, None], b_idx, c_sel[:, None]], axis=1)
+    sup_ok = jnp.concatenate([a_ok[:, None], b_ok, c_ok[:, None]], axis=1)
     if cfg.plane_support_extra > 0:
-        # widen with the k nearest on ANY nearby ring (may duplicate the
+        # widen with the nearest nearby-ring candidates (may duplicate the
         # structured picks — a duplicate merely double-weights a true
         # measurement). Near-field ground supports otherwise span only
         # ~2 voxel leaves; with 1 cm range noise the TLS normal tilts by
         # several percent and the residual couples tilt x query-offset
         # into a systematic roll pull (scripts/diag_odometry.py probe).
-        any_near = (dr <= cfg.nearby_scan)
-        e_vals, e_idx = jax.lax.top_k(-jnp.where(any_near, d2, jnp.inf),
-                                      cfg.plane_support_extra)
+        e_idx, e_ok = pick(near_c, cfg.plane_support_extra)
         sup_idx = jnp.concatenate([sup_idx, e_idx], axis=1)
-        sup_ok = jnp.concatenate(
-            [sup_ok, -e_vals < cfg.dist_sq_threshold], axis=1)
+        sup_ok = jnp.concatenate([sup_ok, e_ok], axis=1)
 
     from msf_loam_tpu.ops import fitting
 
