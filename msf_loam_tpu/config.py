@@ -174,6 +174,22 @@ class ImuConfig:
     # frames' rotation-only-deskew pose errors; a ~1.4 deg tilt injects
     # ~0.24 m/s^2 phantom acceleration into every velocity prediction.
     grav_refine_period: int = 10
+    # --- online bias estimation (imu/bias_estimator.py) ---
+    # The reference pins both biases to zero (SubsetParameterization,
+    # mapping_scan_matcher.cc:46) while carrying the full bias machinery;
+    # here a windowed GN over mapped-pose-anchored IMU factors estimates a
+    # shared (ba, bg) every bias_period frames post-init. 0 disables.
+    bias_period: int = 10
+    bias_window: int = 10              # pairs per solve (W+1 states)
+    bias_prior_acc_sigma: float = 0.1  # zero-mean prior sigmas (m/s^2,
+    bias_prior_gyr_sigma: float = 0.05 #  rad/s; whitened via sqrt_info_scale)
+    bias_vel_prior_sigma: float = 0.5  # velocity tie to lidar-tracked seeds
+    bias_max_acc: float = 0.5          # sanity clamps (m/s^2, rad/s)
+    bias_max_gyr: float = 0.05
+    # EMA across solves: each window's estimate carries mapped-pose-delta
+    # noise (~1.5e-3 rad/s floor measured on the corridor test world);
+    # averaging successive windows converges toward the true bias
+    bias_ema: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

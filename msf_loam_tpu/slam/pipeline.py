@@ -171,12 +171,13 @@ def fused_lio_frame(cfg: MsfLoamConfig, corner_map, surf_map,
                     is_first,
                     pair_dts, pair_accs, pair_gyrs, pair_valid,
                     scan_dts, scan_accs, scan_gyrs, scan_valid,
-                    prev_p, prev_q, prev_v, gravity):
+                    prev_p, prev_q, prev_v, gravity,
+                    ba=None, bg=None):
     return lio_frame_core(cfg, corner_map, surf_map, prev_scan, ring_image,
                           scan_time, pose_c2l, pose_odom, pose_o2m, is_first,
                           pair_dts, pair_accs, pair_gyrs, pair_valid,
                           scan_dts, scan_accs, scan_gyrs, scan_valid,
-                          prev_p, prev_q, prev_v, gravity)
+                          prev_p, prev_q, prev_v, gravity, ba=ba, bg=bg)
 
 
 def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
@@ -186,6 +187,7 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                    pair_dts, pair_accs, pair_gyrs, pair_valid,
                    scan_dts, scan_accs, scan_gyrs, scan_valid,
                    prev_p, prev_q, prev_v, gravity,
+                   ba=None, bg=None,
                    query_fn=None, query2_fn=None, insert_fn=None):
     """The tightly-coupled (post-init) frame as ONE device program:
     extraction + scan-to-scan GN + pair/scan preintegration + IMU pre-solve
@@ -209,20 +211,22 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     surf_ds = downsample_features(scan.surf_less_flat,
                                   mc.plane_resolution, mc.max_query_points)
 
-    # IMU prediction of this frame's state from the previous mapped state
+    # IMU prediction of this frame's state from the previous mapped state.
+    # Biases linearize the preintegration at the online estimate
+    # (imu/bias_estimator.py) — rebuilt-from-raw-samples each frame, i.e.
+    # repropagation at frame granularity (integration_base.cc:36-50).
+    ba = jnp.zeros(3) if ba is None else ba
+    bg = jnp.zeros(3) if bg is None else bg
     pre_pair = preint_mod.preintegrate(
-        pair_dts, pair_accs, pair_gyrs, pair_valid,
-        jnp.zeros(3), jnp.zeros(3), ic)
+        pair_dts, pair_accs, pair_gyrs, pair_valid, ba, bg, ic)
     prev_state = imu_factor_mod.ImuState(
-        pose=Pose(prev_p, prev_q), v=prev_v,
-        ba=jnp.zeros(3), bg=jnp.zeros(3))
+        pose=Pose(prev_p, prev_q), v=prev_v, ba=ba, bg=bg)
     pred = imu_factor_mod.imu_presolve(pre_pair, prev_state, gravity,
                                        info_scale=ic.sqrt_info_scale)
 
     # per-point deskew terms over the scan window
     pre_scan = preint_mod.preintegrate(
-        scan_dts, scan_accs, scan_gyrs, scan_valid,
-        jnp.zeros(3), jnp.zeros(3), ic)
+        scan_dts, scan_accs, scan_gyrs, scan_valid, ba, bg, ic)
     corner_dk = deskew_mod.deskew_terms(pre_scan, corner_ds.rel_time, gravity)
     surf_dk = deskew_mod.deskew_terms(pre_scan, surf_ds.rel_time, gravity)
 
@@ -286,6 +290,8 @@ class SlamPipeline:
         self.imu_buffer = ImuBuffer()
         self.velocity = jnp.zeros(3, jnp.float32)
         self.gravity = jnp.asarray(config.imu.gravity, dtype=jnp.float32)
+        self.bias_acc = jnp.zeros(3, jnp.float32)
+        self.bias_gyr = jnp.zeros(3, jnp.float32)
         self.is_initialized = False            # estimator is_initialized_
         self._states: List[dict] = []          # RobotState window for init
         self._prev_state_time: Optional[float] = None
@@ -306,8 +312,8 @@ class SlamPipeline:
                                    self.cfg.imu.max_lidar_imu_offset)
         return preint_mod.preintegrate(
             jnp.asarray(w.dts), jnp.asarray(w.accs), jnp.asarray(w.gyrs),
-            jnp.asarray(w.valid), jnp.zeros(3, jnp.float32),
-            jnp.zeros(3, jnp.float32), self.cfg.imu)
+            jnp.asarray(w.valid), self.bias_acc, self.bias_gyr,
+            self.cfg.imu)
 
     def _estimator_add(self, time: float, pose: Pose, velocity) -> None:
         """Estimator::AddData (estimator.cc:56-111): collect states; at
@@ -322,6 +328,7 @@ class SlamPipeline:
             pre = self._preintegrate_window(prev["time"], time)
             prev["delta_p"] = np.asarray(pre.delta_p)
             prev["delta_v"] = np.asarray(pre.delta_v)
+            prev["pre"] = pre  # full pytree for the bias window solve
         self._states.append(st)
         if len(self._states) == icfg.init_frames and not self.is_initialized:
             out = self._solve_gravity_window(self._states)
@@ -346,6 +353,39 @@ class SlamPipeline:
             self.gravity = out.gravity
             self.velocity = out.velocities[-1]
             self._states[-1]["v"] = np.asarray(out.velocities[-1])
+        if (self.is_initialized and icfg.bias_period > 0
+                and len(self._states) >= icfg.bias_window + 1
+                and len(self._states) % icfg.bias_period == 0):
+            self._solve_bias()
+
+    def _solve_bias(self) -> None:
+        """Windowed shared-bias GN over mapped-pose-anchored IMU factors
+        (imu/bias_estimator.py). The reference pins biases to zero
+        (mapping_scan_matcher.cc:46); this exercises its dormant bias
+        machinery online."""
+        import jax
+
+        from msf_loam_tpu.imu import bias_estimator
+
+        icfg = self.cfg.imu
+        W = icfg.bias_window
+        sts = self._states[-(W + 1):]
+        if any(s.get("pre") is None for s in sts[:-1]):
+            return
+        pres = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[s["pre"] for s in sts[:-1]])
+        poses_t = jnp.asarray(np.stack([s["p"] for s in sts]))
+        poses_q = jnp.asarray(np.stack([s["q"] for s in sts]))
+        vels0 = jnp.asarray(np.stack([s["v"] for s in sts]))
+        pair_valid = pres.sum_dt > 1e-6
+        out = bias_estimator.solve_bias_window(
+            poses_t, poses_q, vels0, pres, pair_valid, self.gravity,
+            self.bias_acc, self.bias_gyr, icfg)
+        a = icfg.bias_ema
+        self.bias_acc = a * self.bias_acc + (1 - a) * out.ba
+        self.bias_gyr = a * self.bias_gyr + (1 - a) * out.bg
+        self.velocity = out.velocities[-1]
+        self._states[-1]["v"] = np.asarray(out.velocities[-1])
 
     def _solve_gravity_window(self, states) -> "gravity_init.GravityInitResult":
         """Gravity/velocity LS over consecutive mapped states (the
@@ -432,7 +472,8 @@ class SlamPipeline:
                 pre_pair = self._preintegrate_window(prev["time"], scan_time)
                 prev_state = imu_factor_mod.ImuState(
                     pose=Pose(jnp.asarray(prev["p"]), jnp.asarray(prev["q"])),
-                    v=jnp.asarray(prev["v"]), ba=jnp.zeros(3), bg=jnp.zeros(3))
+                    v=jnp.asarray(prev["v"]), ba=self.bias_acc,
+                    bg=self.bias_gyr)
                 pred = imu_factor_mod.imu_presolve(
                     pre_pair, prev_state, self.gravity,
                     info_scale=cfg.imu.sqrt_info_scale)
@@ -578,7 +619,8 @@ class SlamPipeline:
                 jnp.asarray(ws.dts), jnp.asarray(ws.accs),
                 jnp.asarray(ws.gyrs), jnp.asarray(ws.valid),
                 jnp.asarray(prev["p"]), jnp.asarray(prev["q"]),
-                jnp.asarray(prev["v"]), self.gravity)
+                jnp.asarray(prev["v"]), self.gravity,
+                ba=self.bias_acc, bg=self.bias_gyr)
         with self.timers.stage("EST", "add-data"):
             self._estimator_add(scan_time, self.pose_map, self.velocity)
         self.prev_scan = scan

@@ -304,3 +304,81 @@ def test_distorted_scan_capture_frame_convention():
     assert np.median(min_plane_dist(w_capture)) < 0.02
     late = s > 0.5                                  # most-distorted half
     assert np.median(min_plane_dist(w_start)[late]) > 0.25
+
+
+def test_online_bias_estimation_converges():
+    """VERDICT r2 item 7: the windowed bias estimator
+    (imu/bias_estimator.py — the reference's dormant bias machinery
+    exercised online) on a varying-yaw-rate drive with MEMS-class IMU
+    biases. Measured observability on this scenario (and the reason for
+    each bound): the gyro bias converges hard (pose-delta noise floor
+    ~1.5e-3 rad/s); the accel bias is entangled with the mapped-frame
+    gravity tilt (a 0.35 deg map tilt reads as 0.06 m/s^2 of phantom
+    accel — the classic VIO degeneracy), so it acts as a bounded
+    tilt-compensator rather than a sensor-truth estimate; ATE must hold
+    within 1.5x of the bias-free run either way."""
+    BA = np.array([0.05, -0.03, 0.02])
+    BG = np.array([0.008, -0.005, 0.006])
+
+    def yaw_at(t):
+        return 0.25 * t + 0.5 * np.sin(1.2 * t)
+
+    def yawrate_at(t):
+        return 0.25 + 0.6 * np.cos(1.2 * t)
+
+    def pose_at(t):
+        a = yaw_at(t)
+        c, s = np.cos(a), np.sin(a)
+        return V0 * t, np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    def imu_at(t):
+        _, R = pose_at(t)
+        return R.T @ G, np.array([0.0, 0.0, yawrate_at(t)])
+
+    def run(with_bias):
+        cfg = MsfLoamConfig(
+            features=FCFG,
+            mapping=MappingConfig(map_table_size=1 << 13,
+                                  max_query_points=2048),
+            imu=ImuConfig(init_frames=6, warmup_msgs=10, max_imu_samples=64,
+                          bias_period=3, bias_window=12,
+                          tight_coupling=True),
+        )
+        pipe = SlamPipeline(cfg)
+        t0 = 1.0
+        n_frames = 30
+        t = t0 - 0.5
+        while t < t0 + n_frames * FRAME_DT + 0.2:
+            acc, gyr = imu_at(t)
+            if with_bias:
+                acc = acc + BA
+                gyr = gyr + BG
+            pipe.add_imu(t, acc, gyr)
+            t += 1.0 / IMU_HZ
+        p0, R0 = pose_at(t0)
+        gt = []
+        for i in range(n_frames):
+            ts = t0 + i * FRAME_DT
+            gt.append(R0.T @ (pose_at(ts)[0] - p0))
+            p, R = pose_at(ts)
+            xyz, ring = synthetic.simulate_scan(
+                WORLD, p, R, n_rings=16, pts_per_ring=1800, noise=0.004,
+                seed=i, linear_vel=V0, yaw_rate=float(yawrate_at(ts)))
+            img = preprocess.preprocess_scan(xyz, ring, FCFG, num_rings=16)
+            pipe.process_ring_image(img, ts)
+        est = np.asarray([np.asarray(r.map_pose.t) for r in pipe.results])
+        return pipe, ate_rmse(est, np.asarray(gt), align=False)
+
+    pipe_b, ate_b = run(with_bias=True)
+    pipe_u, ate_u = run(with_bias=False)
+
+    bg_est = np.asarray(pipe_b.bias_gyr)
+    # gyro bias: converged well inside half the truth norm
+    assert np.linalg.norm(bg_est - BG) < 0.5 * np.linalg.norm(BG), \
+        (bg_est, BG)
+    # the bias-free run must not invent gyro bias beyond the pose floor
+    assert np.linalg.norm(np.asarray(pipe_u.bias_gyr)) < 0.003
+    # accel estimate stays inside the sanity clamp (tilt-compensator role)
+    assert np.all(np.abs(np.asarray(pipe_b.bias_acc)) <= 0.5)
+    # accuracy held under biased IMU
+    assert ate_b < max(1.5 * ate_u, 0.05), (ate_b, ate_u)
