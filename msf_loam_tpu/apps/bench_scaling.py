@@ -73,9 +73,57 @@ def bench_one(n_devices: int, n_iters: int = 3) -> float:
     return n_iters / (time.perf_counter() - t0)
 
 
+def bench_pipeline(n_devices: int, n_frames: int = 6,
+                   rings: int = 16, pts: int = 900) -> float:
+    """Full sharded-pipeline frames/s (extract + odometry + sharded map
+    insert/query + mapping GN per frame) at a FIXED workload — strong
+    scaling over the map axis. Returns frames/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.config import (FeatureConfig, MappingConfig,
+                                     MsfLoamConfig)
+    from msf_loam_tpu.dataio import preprocess, synthetic
+    from msf_loam_tpu.parallel import mesh as mesh_mod
+    from msf_loam_tpu.parallel.sharded_pipeline import ShardedSlamPipeline
+
+    H = ((1 << 14) // n_devices) * n_devices
+    cfg = MsfLoamConfig(
+        features=FeatureConfig(max_points_per_ring=1024, max_less_flat=4096),
+        mapping=MappingConfig(map_table_size=H, map_cell_capacity=32,
+                              max_query_points=2048))
+    mesh = mesh_mod.make_mesh(n_map=n_devices, n_data=1,
+                              devices=jax.devices()[:n_devices])
+    world = synthetic.World.corridor(seed=0, size=14.0)
+    imgs = []
+    for i in range(n_frames):
+        xyz, ring = synthetic.simulate_scan(
+            world, np.array([0.15 * i, 0.05 * i, 0.0]), np.eye(3),
+            n_rings=rings, pts_per_ring=pts, noise=0.004, seed=i)
+        imgs.append(preprocess.preprocess_scan(xyz, ring, cfg.features,
+                                               num_rings=rings))
+
+    def run_once():
+        pipe = ShardedSlamPipeline(cfg, mesh)
+        for i, img in enumerate(imgs):
+            res = pipe.process_ring_image(img, 0.1 * i)
+        jax.block_until_ready(res.map_pose.t)
+
+    run_once()  # compile
+    t0 = time.perf_counter()
+    reps = 2
+    for _ in range(reps):
+        run_once()
+    return n_frames * reps / (time.perf_counter() - t0)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="also bench full sharded-pipeline frames/s "
+                         "(strong scaling) at each device count")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
     import os
@@ -105,7 +153,18 @@ def main(argv=None) -> int:
         "scaling_efficiency": {
             str(n): round(results[n] * n / base, 3) for n in sizes},
     }
+    if args.pipeline:
+        fps = {n: bench_pipeline(n) for n in sizes}
+        fbase = fps[sizes[0]]
+        out["pipeline_frames_per_sec"] = {
+            str(n): round(fps[n], 2) for n in sizes}
+        # fixed workload split over more devices (strong scaling)
+        out["pipeline_strong_efficiency"] = {
+            str(n): round(fps[n] / (fbase * n / sizes[0]), 3) for n in sizes}
     print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
     return 0
 
 

@@ -109,6 +109,29 @@ def unreliable_mask(xyz: Array, mask: Array, cfg: FeatureConfig) -> Array:
     return block | parallel
 
 
+def corner_gate_array(curv: Array, eligible: Array, sector: Array,
+                      cfg: FeatureConfig) -> Array:
+    """Sector-adaptive corner gate, (R, W): a corner pick must beat BOTH
+    the absolute threshold (reference, msf_loam_node.cc:275) and a multiple
+    of the sector's smooth-population mean curvature (its noise floor). On
+    ground-dominated rings (street scenes) the per-sector top-k otherwise
+    has no real edge to pick and promotes pure range-noise spikes — 80% of
+    the corner budget became ground noise and biased the mapping solve.
+
+    (R, S, W) layout: W stays the minor (lane) dim, same reasoning as
+    _pick_rounds. Shared with scripts/profile_features.py so the profiled
+    sub-stage cannot drift from production."""
+    S = cfg.num_sectors
+    S_oh = (sector[:, None, :] == jnp.arange(S)[None, :, None])   # (R, S, W)
+    smooth = eligible & (curv < cfg.curvature_threshold)
+    w_sm = (S_oh & smooth[:, None, :]).astype(jnp.float32)
+    sec_mean = (jnp.einsum("rsw,rw->rs", w_sm, curv)
+                / jnp.maximum(jnp.sum(w_sm, axis=2), 1.0))        # (R, S)
+    gate_rs = jnp.maximum(cfg.curvature_threshold,
+                          cfg.corner_gate_factor * sec_mean)
+    return jnp.take_along_axis(gate_rs, jnp.maximum(sector, 0), axis=1)
+
+
 def _gap_sq(xyz: Array) -> Array:
     """g[i] = ||x[i+1] - x[i]||^2 along the ring (last column is huge)."""
     d = jnp.roll(xyz, -1, axis=1) - xyz
@@ -278,21 +301,7 @@ def extract_features(ring_image: RingImage, scan_time: Array,
     pickable = eligible & ~unreliable_mask(ring_image.xyz, ring_image.mask,
                                            cfg)
 
-    # Sector-adaptive corner gate: a corner pick must beat BOTH the absolute
-    # threshold (reference, msf_loam_node.cc:275) and a multiple of the
-    # sector's smooth-population mean curvature (its noise floor). On
-    # ground-dominated rings (street scenes) the per-sector top-k otherwise
-    # has no real edge to pick and promotes pure range-noise spikes — 80% of
-    # the corner budget became ground noise and biased the mapping solve.
-    S_oh = (sector[:, None, :] == jnp.arange(S)[None, :, None])   # (R, S, W)
-    smooth = eligible & (curv < cfg.curvature_threshold)
-    w_sm = (S_oh & smooth[:, None, :]).astype(jnp.float32)
-    sec_mean = (jnp.einsum("rsw,rw->rs", w_sm, curv)
-                / jnp.maximum(jnp.sum(w_sm, axis=2), 1.0))        # (R, S)
-    gate_rs = jnp.maximum(cfg.curvature_threshold,
-                          cfg.corner_gate_factor * sec_mean)
-    corner_gate_arr = jnp.take_along_axis(
-        gate_rs, jnp.maximum(sector, 0), axis=1)                  # (R, W)
+    corner_gate_arr = corner_gate_array(curv, eligible, sector, cfg)
 
     # corner picks (max curvature, > threshold): the sharp picks stay
     # exact single-pick rounds (they anchor the edge factors); the bulk

@@ -72,6 +72,10 @@ def voxel_downsample_compact_idx(xyz: Array, mask: Array, leaf: float,
     that second sort over R*W=131k elements costs ~1 ms on TPU — xprof).
     """
     n = xyz.shape[0]
+    # lax.top_k below requires capacity <= n (the scatter-based compaction
+    # this replaced tolerated any capacity); callers may legitimately set a
+    # budget above the input size, and >n slots could never fill anyway
+    capacity = min(capacity, n)
     key = voxel_keys(xyz, leaf)
     if salt is not None:
         key = key ^ (salt.astype(jnp.int32) * jnp.int32(40503))

@@ -56,10 +56,36 @@ nn_found = int(_jax.device_get(
     _jax.jit(lambda v: jnp.sum(v))(valid)))
 assert nn_found > 0
 
-if jax.process_index() == 0:
-    print("MULTIPROCESS_OK sum=%d procs=%d devices=%d sharded_nn=%d" %
-          (int(s), jax.process_count(), len(jax.devices()), nn_found),
-          flush=True)
+# --- full sharded SLAM pipeline frames across BOTH processes ---
+# every rank runs the same program over the same host inputs; the map
+# lives sharded across the global 8-device mesh and every frame runs
+# extract + odometry + sharded insert/query + mapping GN
+from msf_loam_tpu.config import FeatureConfig, MappingConfig, MsfLoamConfig
+from msf_loam_tpu.dataio import preprocess, synthetic
+from msf_loam_tpu.parallel.sharded_pipeline import ShardedSlamPipeline
+
+cfg = MsfLoamConfig(
+    features=FeatureConfig(max_points_per_ring=512, max_less_flat=1024),
+    mapping=MappingConfig(map_table_size=1 << 10, map_cell_capacity=16,
+                          max_query_points=256))
+pipe = ShardedSlamPipeline(cfg, mm)
+world = synthetic.World.corridor(seed=0, size=12.0)
+for i in range(3):
+    xyz, ring = synthetic.simulate_scan(
+        world, np.array([0.1 * i, 0.0, 0.0]), np.eye(3), n_rings=8,
+        pts_per_ring=360, noise=0.004, seed=i)
+    img = preprocess.preprocess_scan(xyz, ring, cfg.features, num_rings=8)
+    res = pipe.process_ring_image(img, 0.1 * i)
+pose_t = np.asarray(res.map_pose.t)
+assert np.isfinite(pose_t).all(), pose_t
+# ~0.2 m of true motion must be recovered (not just "finite")
+assert abs(pose_t[0] - 0.2) < 0.1, pose_t
+
+print("MULTIPROCESS_OK rank=%d sum=%d procs=%d devices=%d sharded_nn=%d "
+      "pipeline_t=%.3f,%.3f,%.3f" %
+      (jax.process_index(), int(s), jax.process_count(), len(jax.devices()),
+       nn_found, pose_t[0], pose_t[1], pose_t[2]),
+      flush=True)
 '''
 
 
@@ -81,14 +107,22 @@ def main():
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
     ok = True
+    poses = []
     for p in procs:
-        out, _ = p.communicate(timeout=180)
+        out, _ = p.communicate(timeout=420)
         text = out.decode()
         if p.returncode != 0:
             ok = False
             print(text[-2000:])
         elif "MULTIPROCESS_OK" in text:
-            print(text.strip().splitlines()[-1])
+            line = [ln for ln in text.strip().splitlines()
+                    if "MULTIPROCESS_OK" in ln][-1]
+            print(line)
+            poses.append(line.split("pipeline_t=")[-1])
+    # both ranks must agree on the sharded pipeline's pose bit-for-bit
+    if ok and len(set(poses)) != 1:
+        ok = False
+        print("rank pose mismatch:", poses)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -72,15 +72,9 @@ def main():
 
     def picks_only(x, which):
         curv, eligible, sector, gap, pickable = prep(x)
-        S = fcfg.num_sectors
-        S_oh = (sector[:, :, None] == jnp.arange(S)[None, None, :])
-        smooth = eligible & (curv < fcfg.curvature_threshold)
-        w_sm = (S_oh & smooth[:, :, None]).astype(jnp.float32)
-        sec_mean = (jnp.einsum("rws,rw->rs", w_sm, curv)
-                    / jnp.maximum(jnp.sum(w_sm, axis=1), 1.0))
-        gate_rs = jnp.maximum(fcfg.curvature_threshold,
-                              fcfg.corner_gate_factor * sec_mean)
-        gate_arr = jnp.take_along_axis(gate_rs, jnp.maximum(sector, 0), axis=1)
+        # shared production helper — the profiled sub-stage uses the exact
+        # (R, S, W) layout extract_features uses (advisor r2 finding)
+        gate_arr = F.corner_gate_array(curv, eligible, sector, fcfg)
         corner_gate = lambda c: c > gate_arr
         acc = jnp.float32(0)
         sharp_picks, suppressed = F._pick_rounds(
