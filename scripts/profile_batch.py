@@ -47,8 +47,9 @@ def main():
         odometry=OdometryConfig(
             plane_corr=os.environ.get("PB_PLANE", "fit"),
             plane_support_extra=int(os.environ.get("PB_EXTRA", "4"))),
-        mapping=MappingConfig(map_table_size=1 << 14, map_cell_capacity=32,
-                              max_query_points=4096),
+        mapping=MappingConfig(map_table_size=1 << 14,
+                              map_cell_capacity=int(os.environ.get("PB_CAP", "32")),
+                              max_query_points=int(os.environ.get("PB_Q", "4096"))),
     )
     _, _, _, imgs = build_inputs(N_RINGS, PTS, T)
     tile = lambda a: jnp.broadcast_to(a[:, None], (T, B) + a.shape[1:])
@@ -109,6 +110,10 @@ def main():
         ("feat only", ("feat",)),
         ("odo only", ("feat", "odo")),
     ]
+    only = os.environ.get("PB_VARIANTS", "")
+    if only:
+        names = [s.strip() for s in only.split(",")]
+        variants = [v for v in variants if v[0] in names]
     results = {}
     for name, stages in variants:
         state = batch_pipeline.init_batch_state(cfg, B, n_rings=N_RINGS)
@@ -124,10 +129,13 @@ def main():
         results[name] = dt
         print(f"{name:>10}: {dt*1000:7.1f} ms for {T}x{B} frames "
               f"({T*B/dt:6.1f} scans/s aggregate)", flush=True)
-    full = results["full"]
-    for name in ("-feat", "-odo", "-match", "-insert"):
-        print(f"stage {name[1:]:>7}: {1000*(full-results[name]):7.1f} ms "
-              f"({100*(full-results[name])/full:4.1f}%)")
+    if "full" in results:
+        full = results["full"]
+        for name in ("-feat", "-odo", "-match", "-insert"):
+            if name in results:
+                print(f"stage {name[1:]:>7}: "
+                      f"{1000*(full-results[name]):7.1f} ms "
+                      f"({100*(full-results[name])/full:4.1f}%)")
 
 
 if __name__ == "__main__":
