@@ -122,6 +122,10 @@ class MappingConfig:
     # row-latency-bound; see voxel_map.gather_candidates). Exactness bound:
     # inter-round pose updates must stay well under map_cell_size/2.
     reuse_candidates: bool = True
+    # fused Pallas selection+fit kernel (ops.select_fit): one HBM read of
+    # the gathered candidates per re-association round instead of ~5.
+    # "auto" = on when the backend is TPU; "on"/"off" force it.
+    fused_select: str = "auto"
     line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
     plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
     outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)

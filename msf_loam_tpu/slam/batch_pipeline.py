@@ -172,6 +172,51 @@ def _fused_gather_candidates(vmap_state: VoxelHashMap, H: int, query: Array,
     return (cand.reshape(B, Q, 8 * P, 3), occup.reshape(B, Q, 8 * P))
 
 
+def _fused_gather_candidates_planar(vmap_state: VoxelHashMap, H: int,
+                                    query: Array, query_mask: Array) -> Array:
+    """Planar-layout octant gather over the fused table for the Pallas
+    selection+fit kernel: (3, B*Q, 8P). Unoccupied entries hold
+    voxel_map.EMPTY_COORD by table invariant; masked queries are gated by
+    the caller (see voxel_map.gather_candidates_planar)."""
+    B, Q, _ = query.shape
+    P = vmap_state.slab_capacity
+    del query_mask  # folded into the caller's validity gates
+    q = query.reshape(B * Q, 3)
+    ncells = neighbor_cells8(q, vmap_state.cell_size)
+    slots = _hash_cells(ncells, H)
+    offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, Q)
+    slots = slots + offset[:, None]
+    tp = jnp.transpose(vmap_state.points, (2, 0, 1))      # (3, B*H, P)
+    cand = tp[:, slots]                                    # (3, BQ, 8, P)
+    return cand.reshape(3, B * Q, 8 * P)
+
+
+def _batched_fused_associate(candp_c, candp_s, cell_c, cell_s, corner_ds,
+                             surf_ds, cw, sw, mc):
+    """Per-round association on the fused Pallas kernel (B*Q rows at once).
+
+    Returns (edge_valid, lines, plane_valid, planes)-shaped arrays in
+    (B, Q, ...) layout matching the XLA path."""
+    from msf_loam_tpu.ops.select_fit import select_fit_pallas
+    B, Qc, _ = cw.shape
+    _, Qs, _ = sw.shape
+    fc = select_fit_pallas(
+        candp_c, cw.reshape(-1, 3), (cell_c * 0.5) ** 2, cell_c ** 2,
+        k=mc.knn, mode="line", min_count=mc.knn,
+        eig_ratio=mc.line_eig_ratio)
+    edge_valid = ((fc.d2[:, mc.knn - 1].reshape(B, Qc) < mc.knn_dist_sq_max)
+                  & corner_ds.mask & fc.valid.reshape(B, Qc))
+    fs = select_fit_pallas(
+        candp_s, sw.reshape(-1, 3), (cell_s * 0.5) ** 2, cell_s ** 2,
+        k=mc.knn, mode="plane2" if mc.plane_fallback else "plane",
+        min_count=mc.knn, min_wide=mc.knn, tol=mc.plane_fit_tol)
+    plane_valid = ((fs.d2[:, mc.knn - 1].reshape(B, Qs) < mc.knn_dist_sq_max)
+                   & surf_ds.mask & fs.valid.reshape(B, Qs))
+    return (edge_valid, fc.center.reshape(B, Qc, 3),
+            fc.normal.reshape(B, Qc, 3), plane_valid,
+            fs.center.reshape(B, Qs, 3), fs.normal.reshape(B, Qs, 3))
+
+
 def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
                        cfg) -> Tuple[Pose, Array]:
     """2 re-association rounds x 6-iter GN for all B sequences. Candidate
@@ -185,31 +230,49 @@ def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
 
     apply_b = jax.vmap(lambda p, x: p.apply(x))
 
-    cand_c, val_c = _fused_gather_candidates(
-        corner_map, H, apply_b(pose, corner_ds.xyz), corner_ds.mask)
-    cand_s, val_s = _fused_gather_candidates(
-        surf_map, H, apply_b(pose, surf_ds.xyz), surf_ds.mask)
+    from msf_loam_tpu.slam.mapping import use_fused_select
+    fused = use_fused_select(mc)
+    if fused:
+        candp_c = _fused_gather_candidates_planar(
+            corner_map, H, apply_b(pose, corner_ds.xyz), corner_ds.mask)
+        candp_s = _fused_gather_candidates_planar(
+            surf_map, H, apply_b(pose, surf_ds.xyz), surf_ds.mask)
+    else:
+        cand_c, val_c = _fused_gather_candidates(
+            corner_map, H, apply_b(pose, corner_ds.xyz), corner_ds.mask)
+        cand_s, val_s = _fused_gather_candidates(
+            surf_map, H, apply_b(pose, surf_ds.xyz), surf_ds.mask)
 
     for _ in range(mc.outer_rounds):
         cw = apply_b(pose, corner_ds.xyz)        # (B, Qc, 3)
         sw = apply_b(pose, surf_ds.xyz)
-        d2c, w_c, _ = voxel_map.select_knn_weights(
-            cand_c, val_c, cw, corner_map.cell_size, k=mc.knn)
-        gate_c = (d2c[..., mc.knn - 1] < mc.knn_dist_sq_max) & corner_ds.mask
-        lines = fitting.fit_lines_weighted(cand_c, w_c, mc.knn,
-                                           mc.line_eig_ratio)
-        edge_valid = gate_c & lines.valid
-        d2s, w_s, wide = voxel_map.select_knn_weights(
-            cand_s, val_s, sw, surf_map.cell_size, k=mc.knn)
-        if mc.plane_fallback:
-            planes = fitting.fit_planes_two_scale_weighted(
-                cand_s, w_s, wide, mc.knn, mc.plane_fit_tol,
-                min_wide=mc.knn)
+        if fused:
+            (edge_valid, line_c, line_n, plane_valid, plane_c,
+             plane_n) = _batched_fused_associate(
+                candp_c, candp_s, corner_map.cell_size, surf_map.cell_size,
+                corner_ds, surf_ds, cw, sw, mc)
         else:
-            planes = fitting.fit_planes_weighted(cand_s, w_s, mc.knn,
-                                                 mc.plane_fit_tol)
-        gate_s = (d2s[..., mc.knn - 1] < mc.knn_dist_sq_max) & surf_ds.mask
-        plane_valid = gate_s & planes.valid
+            d2c, w_c, _ = voxel_map.select_knn_weights(
+                cand_c, val_c, cw, corner_map.cell_size, k=mc.knn)
+            gate_c = ((d2c[..., mc.knn - 1] < mc.knn_dist_sq_max)
+                      & corner_ds.mask)
+            lines = fitting.fit_lines_weighted(cand_c, w_c, mc.knn,
+                                               mc.line_eig_ratio)
+            edge_valid = gate_c & lines.valid
+            line_c, line_n = lines.center, lines.direction
+            d2s, w_s, wide = voxel_map.select_knn_weights(
+                cand_s, val_s, sw, surf_map.cell_size, k=mc.knn)
+            if mc.plane_fallback:
+                planes = fitting.fit_planes_two_scale_weighted(
+                    cand_s, w_s, wide, mc.knn, mc.plane_fit_tol,
+                    min_wide=mc.knn)
+            else:
+                planes = fitting.fit_planes_weighted(cand_s, w_s, mc.knn,
+                                                     mc.plane_fit_tol)
+            gate_s = ((d2s[..., mc.knn - 1] < mc.knn_dist_sq_max)
+                      & surf_ds.mask)
+            plane_valid = gate_s & planes.valid
+            plane_c, plane_n = planes.center, planes.normal
 
         n_corr = (jnp.sum(edge_valid, axis=1) + jnp.sum(plane_valid, axis=1))
 
@@ -224,8 +287,8 @@ def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
             return out.pose
 
         new_pose = jax.vmap(solve_one)(
-            pose, corner_ds.xyz, lines.center, lines.direction, edge_valid,
-            surf_ds.xyz, planes.center, planes.normal, plane_valid)
+            pose, corner_ds.xyz, line_c, line_n, edge_valid,
+            surf_ds.xyz, plane_c, plane_n, plane_valid)
         ok_round = (n_corr >= 10)
         pose = jax.tree.map(
             lambda n, o: jnp.where(ok_round.reshape((B,) + (1,) * (n.ndim - 1)),

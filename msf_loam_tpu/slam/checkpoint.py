@@ -84,13 +84,21 @@ def load_checkpoint(pipe: "SlamPipeline", path: str) -> None:
         pipe.velocity = jnp.asarray(z["velocity"])
         pipe.gravity = jnp.asarray(z["gravity"])
         pipe.is_initialized = bool(z["is_initialized"])
+        def _sanitize(points, count):
+            # restore the EMPTY_COORD tail invariant (snapshots written
+            # before the invariant existed carry zeros past count)
+            from msf_loam_tpu.slam.voxel_map import EMPTY_COORD
+            p = jnp.asarray(points)
+            occ = jnp.arange(p.shape[1])[None, :] < jnp.asarray(count)[:, None]
+            return jnp.where(occ[..., None], p, EMPTY_COORD)
+
         pipe.corner_map = pipe.corner_map._replace(
-            points=jnp.asarray(z["cmap_points"]),
+            points=_sanitize(z["cmap_points"], z["cmap_count"]),
             leaf_key=jnp.asarray(z["cmap_keys"]),
             count=jnp.asarray(z["cmap_count"]),
             n_obs=jnp.asarray(z["cmap_nobs"]))
         pipe.surf_map = pipe.surf_map._replace(
-            points=jnp.asarray(z["smap_points"]),
+            points=_sanitize(z["smap_points"], z["smap_count"]),
             leaf_key=jnp.asarray(z["smap_keys"]),
             count=jnp.asarray(z["smap_count"]),
             n_obs=jnp.asarray(z["smap_nobs"]))

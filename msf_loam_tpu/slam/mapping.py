@@ -106,24 +106,72 @@ def _correspondences_from_selection(corner: PointBatch, surf: PointBatch,
     )
 
 
+def use_fused_select(cfg: MappingConfig) -> bool:
+    """Resolve the fused_select tri-state: Pallas kernel on TPU by default
+    (the XLA fallback path stays the reference implementation and the CPU
+    path)."""
+    if cfg.fused_select == "on":
+        return True
+    if cfg.fused_select == "off":
+        return False
+    return jax.devices()[0].platform == "tpu"
+
+
 class _CandidateCache:
     """Per-frame octant gathers for both maps (voxel_map.gather_candidates):
     TPU gathers are row-latency-bound, so they run once per frame and each
     re-association round only re-runs distance/top-k selection against the
     updated pose. Valid while inter-round pose updates stay well under
-    cell_size/2 (see gather_candidates docstring)."""
+    cell_size/2 (see gather_candidates docstring).
+
+    With ``cfg.fused_select`` resolved on (TPU), the per-round selection +
+    line/plane fits run as ONE Pallas kernel over planar candidates
+    (ops.select_fit) — one HBM read per round instead of ~5."""
 
     def __init__(self, corner_map, surf_map, corner: PointBatch,
-                 surf: PointBatch, cw0: Array, sw0: Array):
-        self.cand_c, self.val_c = voxel_map_mod.gather_candidates(
-            corner_map, cw0, corner.mask)
-        self.cand_s, self.val_s = voxel_map_mod.gather_candidates(
-            surf_map, sw0, surf.mask)
+                 surf: PointBatch, cw0: Array, sw0: Array,
+                 cfg: MappingConfig = None):
+        self.fused = use_fused_select(cfg) if cfg is not None else False
+        if self.fused:
+            self.candp_c = voxel_map_mod.gather_candidates_planar(
+                corner_map, cw0, corner.mask)
+            self.candp_s = voxel_map_mod.gather_candidates_planar(
+                surf_map, sw0, surf.mask)
+        else:
+            self.cand_c, self.val_c = voxel_map_mod.gather_candidates(
+                corner_map, cw0, corner.mask)
+            self.cand_s, self.val_s = voxel_map_mod.gather_candidates(
+                surf_map, sw0, surf.mask)
         self.cell_c = corner_map.cell_size
         self.cell_s = surf_map.cell_size
 
+    def _associate_fused(self, corner: PointBatch, surf: PointBatch,
+                         cw: Array, sw: Array, cfg: MappingConfig
+                         ) -> MapCorrespondences:
+        from msf_loam_tpu.ops.select_fit import select_fit_pallas
+        fc = select_fit_pallas(
+            self.candp_c, cw, (self.cell_c * 0.5) ** 2, self.cell_c ** 2,
+            k=cfg.knn, mode="line", min_count=cfg.knn,
+            eig_ratio=cfg.line_eig_ratio)
+        edge_valid = ((fc.d2[:, cfg.knn - 1] < cfg.knn_dist_sq_max)
+                      & corner.mask & fc.valid)
+        fs = select_fit_pallas(
+            self.candp_s, sw, (self.cell_s * 0.5) ** 2, self.cell_s ** 2,
+            k=cfg.knn, mode="plane2" if cfg.plane_fallback else "plane",
+            min_count=cfg.knn, min_wide=cfg.knn, tol=cfg.plane_fit_tol)
+        plane_valid = ((fs.d2[:, cfg.knn - 1] < cfg.knn_dist_sq_max)
+                       & surf.mask & fs.valid)
+        return MapCorrespondences(
+            edge_points=corner.xyz, edge_c=fc.center, edge_n=fc.normal,
+            edge_valid=edge_valid,
+            plane_points=surf.xyz, plane_c=fs.center, plane_n=fs.normal,
+            plane_valid=plane_valid,
+        )
+
     def associate(self, corner: PointBatch, surf: PointBatch, cw: Array,
                   sw: Array, cfg: MappingConfig) -> MapCorrespondences:
+        if self.fused:
+            return self._associate_fused(corner, surf, cw, sw, cfg)
         d2c, w_c, _ = voxel_map_mod.select_knn_weights(
             self.cand_c, self.val_c, cw, self.cell_c, k=cfg.knn)
         gate_c = (d2c[:, cfg.knn - 1] < cfg.knn_dist_sq_max) & corner.mask
@@ -188,7 +236,7 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     if cfg.reuse_candidates and query_fn is None and query2_fn is None:
         cache = _CandidateCache(corner_map, surf_map, scan_corner, scan_surf,
                                 pose.apply(scan_corner.xyz),
-                                pose.apply(scan_surf.xyz))
+                                pose.apply(scan_surf.xyz), cfg=cfg)
 
     for _ in range(cfg.outer_rounds):
         if cache is not None:
@@ -272,7 +320,7 @@ def match_scan2map_deskew_core(corner_map, surf_map,
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
-            deskewed_world(scan_surf, surf_dk, pose, vel))
+            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg)
 
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
@@ -366,7 +414,7 @@ def match_scan2map_tight_core(corner_map, surf_map,
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
-            deskewed_world(scan_surf, surf_dk, pose, vel))
+            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg)
 
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)

@@ -69,10 +69,19 @@ class VoxelHashMap(NamedTuple):
         return jnp.sum(self.count)
 
 
+# Unoccupied slab entries hold this coordinate in every component — an
+# INVARIANT maintained by create_map/insert_at_slots/evict_far so the
+# planar gather for the fused selection kernel (ops.select_fit) needs no
+# occupancy mask: sentinel coords produce d2 ~ 3e18, outside every radius
+# gate. (3 * EMPTY_COORD^2 stays < f32 max.)
+EMPTY_COORD = 1.0e9
+
+
 def create_map(table_size: int, slab_capacity: int, cell_size: float,
                leaf: float) -> VoxelHashMap:
     return VoxelHashMap(
-        points=jnp.zeros((table_size, slab_capacity, 3), jnp.float32),
+        points=jnp.full((table_size, slab_capacity, 3), EMPTY_COORD,
+                        jnp.float32),
         leaf_key=jnp.full((table_size, slab_capacity), -1, jnp.int32),
         count=jnp.zeros((table_size,), jnp.int32),
         n_obs=jnp.zeros((table_size, slab_capacity), jnp.float32),
@@ -200,6 +209,9 @@ def evict_far(vmap: VoxelHashMap, center: Array, radius: float = 100.0
     new_count = jnp.sum(keep, axis=1).astype(jnp.int32)
     live = jnp.arange(P)[None, :] < new_count[:, None]
     new_keys = jnp.where(live, new_keys, -1)
+    # maintain the EMPTY_COORD tail invariant (evicted entries would
+    # otherwise keep their real coords past the count boundary)
+    new_points = jnp.where(live[..., None], new_points, EMPTY_COORD)
     return vmap._replace(points=new_points, leaf_key=new_keys,
                          count=new_count, n_obs=new_nobs)
 
@@ -308,6 +320,25 @@ def gather_candidates(vmap: VoxelHashMap, query: Array, query_mask: Array
     occup = occup & query_mask[:, None, None]
     return (cand.reshape(q.shape[0], -1, 3),
             occup.reshape(q.shape[0], -1))
+
+
+def gather_candidates_planar(vmap: VoxelHashMap, query: Array,
+                             query_mask: Array) -> Array:
+    """One octant gather in PLANAR (3, Q, 8P) layout for the fused Pallas
+    selection+fit kernel (ops.select_fit). No occupancy mask travels with
+    the candidates: unoccupied slab entries hold EMPTY_COORD by table
+    invariant, which lands outside every radius gate. Masked QUERIES are
+    not filtered here either — their rows produce gated-off fits and every
+    caller ANDs the query mask into its validity gates. Same coverage
+    contract as ``gather_candidates``."""
+    H, P = vmap.table_size, vmap.slab_capacity
+    del query_mask  # folded into the callers' validity gates
+    q = query.astype(jnp.float32)
+    ncells = neighbor_cells8(q, vmap.cell_size)                  # (Q, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 8)
+    tp = jnp.transpose(vmap.points, (2, 0, 1))                   # (3, H, P)
+    cand = tp[:, slots]                                          # (3, Q, 8, P)
+    return cand.reshape(3, q.shape[0], 8 * P)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

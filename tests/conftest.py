@@ -17,5 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of large 8-device CPU programs in one
+    process; past ~150 tests the XLA:CPU compiler segfaults
+    non-deterministically inside backend_compile_and_load (reproduced twice
+    at different tests, never in isolation or in an ~40-test subset).
+    Dropping the in-process executable cache at module boundaries bounds
+    the accumulation; per-module recompiles are seconds on CPU."""
+    yield
+    jax.clear_caches()

@@ -186,3 +186,56 @@ def test_query_knn_2r_strict_matches_query_knn_and_wide_superset():
     r2 = (m.cell_size * 0.5) ** 2
     dw = np.asarray(d2w)[np.asarray(vw)]
     assert (dw > r2).any() and (dw <= m.cell_size ** 2 + 1e-5).all()
+
+
+def test_empty_coord_tail_invariant():
+    """Unoccupied slab entries hold EMPTY_COORD through create/insert/evict
+    (the planar gather for the fused selection kernel relies on it)."""
+    import numpy as np
+
+    from msf_loam_tpu.slam.voxel_map import (EMPTY_COORD, create_map,
+                                             evict_far, insert)
+
+    rng = np.random.default_rng(0)
+    m = create_map(256, 8, 2.0, 0.4)
+
+    def check(vm):
+        occ = np.arange(vm.slab_capacity)[None, :] < np.asarray(vm.count)[:, None]
+        tails = np.asarray(vm.points)[~occ]
+        assert tails.size == 0 or bool((tails == EMPTY_COORD).all())
+
+    check(m)
+    for step in range(3):
+        pts = jnp.asarray(rng.uniform(-30, 30, (500, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.uniform(size=500) > 0.2)
+        m = insert(m, pts, mask)
+        check(m)
+        m = evict_far(m, jnp.zeros(3), radius=18.0)
+        check(m)
+    assert int(m.total_points()) > 0
+
+
+def test_gather_planar_matches_dense():
+    """gather_candidates_planar == gather_candidates with the sentinel
+    encoding (same slots, same occupancy semantics)."""
+    import numpy as np
+
+    from msf_loam_tpu.slam.voxel_map import (EMPTY_COORD, create_map,
+                                             gather_candidates,
+                                             gather_candidates_planar, insert)
+
+    rng = np.random.default_rng(1)
+    m = create_map(512, 8, 2.0, 0.4)
+    pts = jnp.asarray(rng.uniform(-20, 20, (800, 3)).astype(np.float32))
+    m = insert(m, pts, jnp.ones(800, bool))
+
+    q = jnp.asarray(rng.uniform(-20, 20, (64, 3)).astype(np.float32))
+    qmask = jnp.ones(64, bool)
+    cand, valid = gather_candidates(m, q, qmask)
+    planar = gather_candidates_planar(m, q, qmask)
+    dense_from_planar = jnp.transpose(planar, (1, 2, 0))   # (Q, 8P, 3)
+    got_valid = np.asarray(dense_from_planar[..., 0]) < EMPTY_COORD * 0.5
+    assert np.array_equal(got_valid, np.asarray(valid))
+    np.testing.assert_array_equal(
+        np.asarray(dense_from_planar)[np.asarray(valid)],
+        np.asarray(cand)[np.asarray(valid)])
