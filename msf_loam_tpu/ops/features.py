@@ -374,3 +374,110 @@ def extract_features(ring_image: RingImage, scan_time: Array,
         surf_flat=flat,
         surf_less_flat=lf,
     )
+
+
+def extract_features_batched(imgs: RingImage, scan_time: Array,
+                             cfg: FeatureConfig) -> ScanFeatures:
+    """``extract_features`` over a (B, R, W) lane batch by FLATTENING lanes
+    into rings instead of vmapping.
+
+    Every stage up to the less-flat filter is ring-row independent
+    (curvature taps, sector split, gates, pick rounds, pick gathers all
+    operate along W within one ring), so running them once on a
+    (B*R, W) image is exactly the per-lane math of ``extract_features`` —
+    without the layout/tiling overhead a lane vmap adds (measured ~40%
+    per-lane on the batched bench; docs/RESULTS.md). Only the per-lane
+    less-flat voxel compaction vmaps: its dedup sort must stay lane-local.
+
+    Returns ScanFeatures whose leaves carry a leading (B,) axis, leaf-
+    for-leaf identical to ``jax.vmap(extract_features)`` (pinned by
+    tests/test_features.py).
+    """
+    B, R, W, _ = imgs.xyz.shape
+    S = cfg.num_sectors
+    xyz = imgs.xyz.reshape(B * R, W, 3)
+    mask = imgs.mask.reshape(B * R, W)
+    rel = imgs.rel_time.reshape(B * R, W)
+
+    curv, eligible = compute_curvature(xyz, mask, cfg)
+    n_valid = jnp.sum(mask.astype(jnp.int32), axis=1)
+    sector = assign_sectors(eligible, n_valid, cfg)
+    gap = _gap_sq(xyz)
+    pickable = eligible & ~unreliable_mask(xyz, mask, cfg)
+    corner_gate_arr = corner_gate_array(curv, eligible, sector, cfg)
+
+    corner_gate = lambda c: c > corner_gate_arr
+    sharp_picks, suppressed = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=cfg.sharp_per_sector, maximize=True,
+        curv_gate=corner_gate, picks_per_round=1,
+    )
+    n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
+    rest_picks, suppressed = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=n_rest, maximize=True, curv_gate=corner_gate,
+        picks_per_round=6, suppressed0=suppressed,
+    )
+    corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
+    flat_picks, _ = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=cfg.flat_per_sector, maximize=False,
+        curv_gate=lambda c: c < cfg.curvature_threshold,
+        picks_per_round=1, suppressed0=suppressed,
+    )
+
+    # within-lane ring index per flattened row: row b*R + r -> r
+    ring_row = jnp.tile(jnp.arange(R, dtype=jnp.int32), B)[:, None]  # (BR, 1)
+
+    def gather(picks: Array, n_keep: int) -> PointBatch:
+        """_gather_picks on the flattened rows, reshaped to (B, ...) —
+        rows are lane-major so lane blocks are contiguous."""
+        sel = picks[:n_keep]                              # (n_keep, BR, S)
+        w_idx = jnp.transpose(sel, (1, 0, 2)).reshape(B * R, n_keep * S)
+        valid = w_idx >= 0
+        w_safe = jnp.maximum(w_idx, 0)
+        p_xyz = jnp.take_along_axis(xyz, w_safe[..., None], axis=1)
+        p_rel = jnp.take_along_axis(rel, w_safe, axis=1)
+        p_ring = jnp.broadcast_to(ring_row, w_idx.shape)
+        cap = R * n_keep * S
+        return PointBatch(
+            xyz=p_xyz.reshape(B, cap, 3),
+            rel_time=p_rel.reshape(B, cap),
+            ring=p_ring.reshape(B, cap),
+            mask=valid.reshape(B, cap),
+        )
+
+    sharp = gather(corner_picks, cfg.sharp_per_sector)
+    less_sharp = gather(corner_picks, cfg.less_sharp_per_sector)
+    flat = gather(flat_picks, cfg.flat_per_sector)
+
+    less_flat_mask = (eligible & ~suppressed).reshape(B, R * W)
+    lf_xyz = imgs.xyz.reshape(B, R * W, 3)
+    lf_rel = imgs.rel_time.reshape(B, R * W)
+    lf_ring = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[None, :, None], (B, R, W)
+    ).reshape(B, R * W)
+
+    def lane_lf(x, m, rng):
+        salt = rng if cfg.less_flat_per_ring else None
+        return voxel_downsample_compact_idx(
+            x, m, cfg.less_flat_leaf, cfg.max_less_flat, salt=salt)
+
+    lf_idx, lf_valid = jax.vmap(lane_lf)(lf_xyz, less_flat_mask, lf_ring)
+    lf = PointBatch(
+        xyz=jnp.take_along_axis(lf_xyz, lf_idx[..., None], axis=1),
+        rel_time=jnp.take_along_axis(lf_rel, lf_idx, axis=1),
+        ring=jnp.take_along_axis(lf_ring, lf_idx, axis=1),
+        mask=lf_valid,
+    )
+
+    full = PointBatch(xyz=lf_xyz, rel_time=lf_rel, ring=lf_ring,
+                      mask=imgs.mask.reshape(B, R * W))
+    return ScanFeatures(
+        time=jnp.broadcast_to(jnp.asarray(scan_time, jnp.float32), (B,)),
+        full=full,
+        corner_sharp=sharp,
+        corner_less_sharp=less_sharp,
+        surf_flat=flat,
+        surf_less_flat=lf,
+    )

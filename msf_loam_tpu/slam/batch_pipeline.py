@@ -301,8 +301,9 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     fc, oc, mc = cfg.features, cfg.odometry, cfg.mapping
     B = state.pose_odom.t.shape[0]
 
-    feats = jax.vmap(lambda im: feat_mod.extract_features(
-        im, jnp.float32(0.0), fc))(imgs)
+    # flatten-lanes extraction: per-lane identical to vmapped
+    # extract_features but ~40% cheaper per lane (features.py docstring)
+    feats = feat_mod.extract_features_batched(imgs, jnp.float32(0.0), fc)
 
     odo = jax.vmap(lambda a, b, p: odometry.match_scan2scan(a, b, p, oc))(
         state.prev_feats, feats, state.pose_c2l)

@@ -47,7 +47,7 @@ def main():
         odometry=OdometryConfig(
             plane_corr=os.environ.get("PB_PLANE", "fit"),
             plane_support_extra=int(os.environ.get("PB_EXTRA", "4"))),
-        mapping=MappingConfig(map_table_size=1 << 14,
+        mapping=MappingConfig(map_table_size=int(os.environ.get("PB_H", str(1 << 14))),
                               map_cell_capacity=int(os.environ.get("PB_CAP", "32")),
                               max_query_points=int(os.environ.get("PB_Q", "4096"))),
     )
@@ -62,8 +62,8 @@ def main():
     def frame_fn(stages, state, img_t):
         feats = state.prev_feats
         if "feat" in stages:
-            feats = jax.vmap(lambda im: feat_mod.extract_features(
-                im, jnp.float32(0.0), fc).strip_full())(img_t)
+            feats = feat_mod.extract_features_batched(
+                img_t, jnp.float32(0.0), fc).strip_full()
         pose_c2l = state.pose_c2l
         if "odo" in stages:
             odo = jax.vmap(

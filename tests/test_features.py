@@ -142,3 +142,46 @@ def test_per_ring_less_flat_salt_partitions_voxels():
     keep_ring = voxel_downsample_masked(xyz, mask, 0.2, salt=ring)
     assert int(keep_global.sum()) == 2
     assert int(keep_ring.sum()) == 3
+
+
+def test_extract_features_batched_lane_independent():
+    # flatten-lanes batched extraction (batch_pipeline's path): each lane's
+    # output must depend ONLY on that lane's scan — permuting lanes must
+    # permute outputs bit-for-bit. (Bitwise equality against vmapped
+    # extract_features is NOT required: the two compile to different
+    # programs whose float reassociation flips picks at curvature ties;
+    # end-to-end equivalence vs the dense pipeline is pinned at trajectory
+    # level in test_batch_pipeline.)
+    import jax
+
+    imgs = [_make_scan(pose_t=np.array([0.3 * i, 0.1 * i, 0.0]),
+                       yaw=0.07 * i, seed=i) for i in range(3)]
+    img_b = jax.tree.map(lambda *xs: jnp.stack(xs), *imgs)
+    perm = [2, 0, 1]
+    img_p = jax.tree.map(lambda a: a[np.asarray(perm)], img_b)
+
+    out_b = features.extract_features_batched(img_b, jnp.float32(0.0), CFG)
+    out_p = features.extract_features_batched(img_p, jnp.float32(0.0), CFG)
+
+    for name in ("corner_sharp", "corner_less_sharp", "surf_flat",
+                 "surf_less_flat", "full"):
+        r, g = getattr(out_b, name), getattr(out_p, name)
+        for field in ("xyz", "rel_time", "ring", "mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(r, field))[np.asarray(perm)],
+                np.asarray(getattr(g, field)), err_msg=f"{name}.{field}")
+
+    # budget/shape parity with the vmapped form (leaf shapes must agree so
+    # batch_pipeline state threading is unchanged)
+    ref = jax.vmap(lambda im: features.extract_features(
+        im, jnp.float32(0.0), CFG))(img_b)
+    for name in ("corner_sharp", "corner_less_sharp", "surf_flat",
+                 "surf_less_flat", "full"):
+        r, g = getattr(ref, name), getattr(out_b, name)
+        assert r.xyz.shape == g.xyz.shape, name
+        assert r.mask.shape == g.mask.shape, name
+        # pick budgets land within a hair of the vmapped path (tie flips
+        # only): valid counts per lane match within 2%
+        rc = np.asarray(jnp.sum(r.mask, axis=1), np.float64)
+        gc = np.asarray(jnp.sum(g.mask, axis=1), np.float64)
+        np.testing.assert_allclose(gc, rc, rtol=0.02, err_msg=name)
