@@ -299,9 +299,15 @@ def run_batched_mode(batch=8, n_frames=N_FRAMES, n_reps=3):
     from msf_loam_tpu.core.pointcloud import RingImage
     from msf_loam_tpu.slam import batch_pipeline
 
+    # per-lane table 1<<12 so the FUSED table is B * 4096 = 32768 slots —
+    # exactly the single-stream bench's table: same per-chip map memory,
+    # packed 8 ways. Gather locality over the fused table is the batched
+    # matcher's bottleneck (measured: per-lane tables of 1<<14 / 1<<13 /
+    # 1<<12 give 200 / 200 / 215 scans/s aggregate); accuracy at 1<<12 is
+    # pinned by test_batch_pipeline's batch-vs-dense trajectory check.
     cfg = MsfLoamConfig(
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
-        mapping=MappingConfig(map_table_size=1 << 14, map_cell_capacity=32,
+        mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=32,
                               max_query_points=4096),
     )
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames)

@@ -384,10 +384,17 @@ def extract_features_batched(imgs: RingImage, scan_time: Array,
     Every stage up to the less-flat filter is ring-row independent
     (curvature taps, sector split, gates, pick rounds, pick gathers all
     operate along W within one ring), so running them once on a
-    (B*R, W) image is exactly the per-lane math of ``extract_features`` —
-    without the layout/tiling overhead a lane vmap adds (measured ~40%
-    per-lane on the batched bench; docs/RESULTS.md). Only the per-lane
-    less-flat voxel compaction vmaps: its dedup sort must stay lane-local.
+    (B*R, W) image is exactly the per-lane math of ``extract_features``.
+    Only the per-lane less-flat voxel compaction vmaps: its dedup sort
+    must stay lane-local.
+
+    Status: measured ~16% cheaper per lane than the vmapped form in an
+    isolated fused loop (scripts/profile_batch_feat.py), but REJECTED in
+    the batched pipeline's scan body, where the (B*R, W) <-> (B, ...)
+    relayouts it forces on scan-carried clouds cost more than the pick
+    machinery saves (212.7 -> 192.3 scans/s aggregate, B=8 real TPU).
+    Kept as the measured-alternative record and for callers whose
+    consumers want flattened-row layouts.
 
     Returns ScanFeatures whose leaves carry a leading (B,) axis, leaf-
     for-leaf identical to ``jax.vmap(extract_features)`` (pinned by

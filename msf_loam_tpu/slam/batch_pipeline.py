@@ -301,9 +301,14 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     fc, oc, mc = cfg.features, cfg.odometry, cfg.mapping
     B = state.pose_odom.t.shape[0]
 
-    # flatten-lanes extraction: per-lane identical to vmapped
-    # extract_features but ~40% cheaper per lane (features.py docstring)
-    feats = feat_mod.extract_features_batched(imgs, jnp.float32(0.0), fc)
+    # vmapped per-lane extraction. Measured and REJECTED here: the
+    # flatten-lanes form (feat_mod.extract_features_batched) is ~16%
+    # cheaper per lane in an isolated fused loop, but IN THIS scan body it
+    # measured 212.7 -> 192.3 scans/s aggregate (B=8, real TPU) — the
+    # (B*R, W) <-> (B, ...) relayouts it forces on the scan-carried
+    # feature clouds cost more than the pick machinery saves.
+    feats = jax.vmap(lambda im: feat_mod.extract_features(
+        im, jnp.float32(0.0), fc))(imgs)
 
     odo = jax.vmap(lambda a, b, p: odometry.match_scan2scan(a, b, p, oc))(
         state.prev_feats, feats, state.pose_c2l)
