@@ -92,8 +92,12 @@ def build_inputs(n_rings=None, pts_per_ring=None, n_frames=None):
     n_frames = n_frames or (N_FRAMES + 1)
 
     fcfg = FeatureConfig(max_points_per_ring=2048, max_less_flat=8192)
+    # corner budget 1024: the bench world yields ~540 valid corner queries
+    # per frame (measured), so the shared 4096 budget made the corner-side
+    # octant gather + fused selection/fit ~72% padding
     mcfg = MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
-                         max_query_points=4096)
+                         max_query_points=4096,
+                         max_corner_query_points=1024)
     ocfg = OdometryConfig()
 
     xyz, ring = make_scans(n_frames, n_rings, pts_per_ring)
@@ -130,7 +134,7 @@ def run_single(n_rings, pts_per_ring, n_frames=N_FRAMES, n_reps=3):
         pose_w = pose_w.compose(odo.pose_curr2last)
         corner_ds = downsample_features(feats.corner_less_sharp,
                                         mcfg.line_resolution,
-                                        mcfg.max_query_points)
+                                        mcfg.corner_query_points)
         surf_ds = downsample_features(feats.surf_less_flat,
                                       mcfg.plane_resolution,
                                       mcfg.max_query_points)
@@ -241,7 +245,8 @@ def run_lio_mode(n_frames=N_FRAMES, n_reps=3):
     cfg = MsfLoamConfig(
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
         mapping=MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
-                              max_query_points=4096),
+                              max_query_points=4096,
+                              max_corner_query_points=1024),
         imu=ImuConfig(tight_coupling=True))
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames + 1)
     mc = cfg.mapping
@@ -312,7 +317,8 @@ def run_batched_mode(batch=None, n_frames=N_FRAMES, n_reps=3):
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
         mapping=MappingConfig(map_table_size=(1 << 15) // batch,
                               map_cell_capacity=32,
-                              max_query_points=4096),
+                              max_query_points=4096,
+                              max_corner_query_points=1024),
     )
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames)
     tile = lambda a: jnp.broadcast_to(a[:, None], (n_frames, batch) + a.shape[1:])

@@ -139,9 +139,20 @@ class MappingConfig:
     map_table_size: int = 1 << 15      # hash table slots per feature map
     map_cell_capacity: int = 32        # point slab per cell
     max_query_points: int = 4096       # static query batch per feature type
+    # Separate (smaller) budget for corner queries: corner clouds are far
+    # sparser than surf (measured ~540 valid of a 1920 budget on the bench
+    # world), and every padded row still pays the full octant gather +
+    # fused selection/fit. 0 = use max_query_points.
+    max_corner_query_points: int = 0
     map_evict_radius: float = 100.0    # release cells beyond this (60 m query
                                        # horizon analog, hybrid_grid.cc:532)
     map_evict_period: int = 10         # frames between eviction passes
+
+    @property
+    def corner_query_points(self) -> int:
+        """Effective corner query budget (max_corner_query_points, falling
+        back to the shared max_query_points when unset)."""
+        return self.max_corner_query_points or self.max_query_points
 
 
 @dataclasses.dataclass(frozen=True)
@@ -278,6 +289,10 @@ class MsfLoamConfig:
                 f"mapping.max_query_points={mc.max_query_points} is below "
                 f"knn={mc.knn}; the static query budget cannot hold one "
                 f"correspondence set")
+        if 0 < mc.max_corner_query_points < mc.knn:
+            raise ValueError(
+                f"mapping.max_corner_query_points="
+                f"{mc.max_corner_query_points} is below knn={mc.knn}")
         if mc.knn < 2:
             raise ValueError("mapping.knn must be >= 2 (line/plane fits "
                              "need multiple neighbors)")

@@ -142,7 +142,7 @@ class ShardedSlamPipeline:
 
         corner_ds = downsample_features(scan.corner_less_sharp,
                                         cfg.mapping.line_resolution,
-                                        cfg.mapping.max_query_points)
+                                        cfg.mapping.corner_query_points)
         surf_ds = downsample_features(scan.surf_less_flat,
                                       cfg.mapping.plane_resolution,
                                       cfg.mapping.max_query_points)

@@ -322,7 +322,7 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
     pose_odom = state.pose_odom.compose(step_pose)
 
     ds = jax.vmap(lambda pb: downsample_features(
-        pb, mc.line_resolution, mc.max_query_points))
+        pb, mc.line_resolution, mc.corner_query_points))
     corner_ds = ds(feats.corner_less_sharp)
     surf_ds = jax.vmap(lambda pb: downsample_features(
         pb, mc.plane_resolution, mc.max_query_points))(feats.surf_less_flat)

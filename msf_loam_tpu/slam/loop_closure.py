@@ -121,7 +121,8 @@ def match_loop_pair_submap(neighbors, feats_j, guess: Pose,
         cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)
         smap = voxel_map.insert(smap, sw.xyz, sw.mask)
     corner_ds = downsample_features(feats_j.corner_less_sharp,
-                                    mc.line_resolution, mc.max_query_points)
+                                    mc.line_resolution,
+                                    mc.corner_query_points)
     surf_ds = downsample_features(feats_j.surf_less_flat,
                                   mc.plane_resolution, mc.max_query_points)
     res = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds, guess, mc)

@@ -118,7 +118,8 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     pose_odom = pose_odom.compose(step_pose)
 
     corner_ds = downsample_features(scan.corner_less_sharp,
-                                    mc.line_resolution, mc.max_query_points)
+                                    mc.line_resolution,
+                                    mc.corner_query_points)
     surf_ds = downsample_features(scan.surf_less_flat,
                                   mc.plane_resolution, mc.max_query_points)
     if oc.motion_deskew:
@@ -212,7 +213,8 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     pose_odom = pose_odom.compose(step_pose)
 
     corner_ds = downsample_features(scan.corner_less_sharp,
-                                    mc.line_resolution, mc.max_query_points)
+                                    mc.line_resolution,
+                                    mc.corner_query_points)
     surf_ds = downsample_features(scan.surf_less_flat,
                                   mc.plane_resolution, mc.max_query_points)
 
@@ -445,7 +447,7 @@ class SlamPipeline:
         with self.timers.stage("MAP", "downsample"):
             corner_ds = downsample_features(
                 scan.corner_less_sharp, cfg.mapping.line_resolution,
-                cfg.mapping.max_query_points)
+                cfg.mapping.corner_query_points)
             surf_ds = downsample_features(
                 scan.surf_less_flat, cfg.mapping.plane_resolution,
                 cfg.mapping.max_query_points)

@@ -55,3 +55,13 @@ def test_replace_validates():
     with pytest.raises(ValueError):
         dataclasses.replace(
             cfg, mapping=MappingConfig(knn_dist_sq_max=9.0))
+
+
+def test_corner_query_budget():
+    # 0 (default) falls back to the shared budget
+    mc = MappingConfig()
+    assert mc.corner_query_points == mc.max_query_points
+    mc = MappingConfig(max_corner_query_points=1024)
+    assert mc.corner_query_points == 1024
+    with pytest.raises(ValueError, match="max_corner_query_points"):
+        MsfLoamConfig(mapping=MappingConfig(max_corner_query_points=3, knn=5))
