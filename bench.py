@@ -92,12 +92,15 @@ def build_inputs(n_rings=None, pts_per_ring=None, n_frames=None):
     n_frames = n_frames or (N_FRAMES + 1)
 
     fcfg = FeatureConfig(max_points_per_ring=2048, max_less_flat=8192)
-    # corner budget 1024: the bench world yields ~540 valid corner queries
-    # per frame (measured), so the shared 4096 budget made the corner-side
-    # octant gather + fused selection/fit ~72% padding
+    # corner budget 1024: the 16-ring bench world yields ~540 valid corner
+    # queries per frame (measured), so the shared 4096 budget made the
+    # corner-side octant gather + fused selection/fit ~72% padding. At
+    # 64-ring the deduped corner count peaks at 1041 over the bench
+    # trajectory (measured) — budget 2048 so no frame silently truncates.
     mcfg = MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
                          max_query_points=4096,
-                         max_corner_query_points=1024)
+                         max_corner_query_points=1024 if n_rings <= 32
+                         else 2048)
     ocfg = OdometryConfig()
 
     xyz, ring = make_scans(n_frames, n_rings, pts_per_ring)
@@ -313,6 +316,9 @@ def run_batched_mode(batch=None, n_frames=N_FRAMES, n_reps=3):
     # 1<<12 give 200 / 200 / 215 scans/s aggregate); accuracy at 1<<12 is
     # pinned by test_batch_pipeline's batch-vs-dense trajectory check.
     batch = batch or int(_os.environ.get("MSF_BATCH_B", "8"))
+    if batch < 1:
+        raise SystemExit("MSF_BATCH_B must be >= 1 "
+                         "(use MSF_BENCH_BATCHED=0 to skip batched mode)")
     cfg = MsfLoamConfig(
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
         mapping=MappingConfig(map_table_size=(1 << 15) // batch,

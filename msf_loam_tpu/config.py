@@ -289,10 +289,12 @@ class MsfLoamConfig:
                 f"mapping.max_query_points={mc.max_query_points} is below "
                 f"knn={mc.knn}; the static query budget cannot hold one "
                 f"correspondence set")
-        if 0 < mc.max_corner_query_points < mc.knn:
+        if mc.max_corner_query_points < 0 or \
+                0 < mc.max_corner_query_points < mc.knn:
             raise ValueError(
                 f"mapping.max_corner_query_points="
-                f"{mc.max_corner_query_points} is below knn={mc.knn}")
+                f"{mc.max_corner_query_points} must be 0 (share "
+                f"max_query_points) or >= knn={mc.knn}")
         if mc.knn < 2:
             raise ValueError("mapping.knn must be >= 2 (line/plane fits "
                              "need multiple neighbors)")

@@ -42,7 +42,8 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                cfg: MappingConfig,
                corner_world: Optional[Array] = None,
                surf_world: Optional[Array] = None,
-               query_fn=None, query2_fn=None) -> MapCorrespondences:
+               query_fn=None, query2_fn=None,
+               query_pair_fn=None) -> MapCorrespondences:
     """Find line/plane correspondences for all scan features at once.
 
     corner_world/surf_world override the query positions (used by the
@@ -51,6 +52,10 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
     pipeline passes the all-gather-merged multi-device query);
     ``query2_fn(map, xyz, mask, k, k2)`` is its two-radius twin for the
     wide plane-fallback set (see voxel_map.query_knn_2r).
+    ``query_pair_fn(cmap, smap, cw, cmask, sw, smask)`` answers BOTH
+    feature types in one call (the sharded pipeline's packed-collective
+    round: one all-gather instead of six) and takes precedence; it always
+    returns the two-radius surf form, so it requires cfg.plane_fallback.
     """
     if query_fn is None:
         query_fn = query_knn
@@ -58,6 +63,12 @@ def _associate(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
         query2_fn = voxel_map_mod.query_knn_2r
     cw = corner_world if corner_world is not None else pose.apply(corner.xyz)
     sw = surf_world if surf_world is not None else pose.apply(surf.xyz)
+
+    if query_pair_fn is not None and cfg.plane_fallback:
+        sel_c, sel_s = query_pair_fn(corner_map, surf_map, cw, corner.mask,
+                                     sw, surf.mask)
+        return _correspondences_from_selection(corner, surf, sel_c, sel_s,
+                                               cfg)
 
     # NOTE: fusing both feature types into one gather over a stacked table
     # was measured SLOWER (112.6 -> 103.2 scans/s: the concat copies the
@@ -221,7 +232,8 @@ def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
 def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                         scan_corner: PointBatch, scan_surf: PointBatch,
                         pose0: Pose, cfg: MappingConfig,
-                        query_fn=None, query2_fn=None) -> MappingResult:
+                        query_fn=None, query2_fn=None,
+                        query_pair_fn=None) -> MappingResult:
     """Unjitted matcher core; ``query_fn``/``query2_fn`` swap the kNN
     backend (the sharded pipeline passes the multi-device queries)."""
     pose = pose0
@@ -233,7 +245,8 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
              (surf_map.total_points() > cfg.min_map_surf)
 
     cache = None
-    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+    if cfg.reuse_candidates and query_fn is None \
+            and query2_fn is None and query_pair_fn is None:
         cache = _CandidateCache(corner_map, surf_map, scan_corner, scan_surf,
                                 pose.apply(scan_corner.xyz),
                                 pose.apply(scan_surf.xyz), cfg=cfg)
@@ -246,7 +259,8 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
         else:
             corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
                               pose, cfg, query_fn=query_fn,
-                              query2_fn=query2_fn)
+                              query2_fn=query2_fn,
+                              query_pair_fn=query_pair_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -287,7 +301,8 @@ def match_scan2map_deskew_core(corner_map, surf_map,
                                corner_dk: icp.DeskewTerms,
                                surf_dk: icp.DeskewTerms,
                                cfg: MappingConfig,
-                               query_fn=None, query2_fn=None) -> MappingResult:
+                               query_fn=None, query2_fn=None,
+                               query_pair_fn=None) -> MappingResult:
     """Tightly-coupled scan-to-map GN over [pose, velocity] with per-point
     IMU deskew terms (mapping_scan_matcher.cc:109-246 initialized branch).
 
@@ -316,7 +331,8 @@ def match_scan2map_deskew_core(corner_map, surf_map,
         return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
 
     cache = None
-    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+    if cfg.reuse_candidates and query_fn is None \
+            and query2_fn is None and query_pair_fn is None:
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
@@ -330,7 +346,8 @@ def match_scan2map_deskew_core(corner_map, surf_map,
         else:
             corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
                               pose, cfg, corner_world=cw, surf_world=sw,
-                              query_fn=query_fn, query2_fn=query2_fn)
+                              query_fn=query_fn, query2_fn=query2_fn,
+                              query_pair_fn=query_pair_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 
@@ -377,7 +394,8 @@ def match_scan2map_tight_core(corner_map, surf_map,
                               surf_dk: icp.DeskewTerms,
                               pre_pair, prev_state, cfg: MappingConfig,
                               imu_weight: float = 1.0,
-                              query_fn=None, query2_fn=None) -> MappingResult:
+                              query_fn=None, query2_fn=None,
+                              query_pair_fn=None) -> MappingResult:
     """Tightly-coupled scan-to-map GN with the IMU preintegration factor IN
     the solve and velocity FREE.
 
@@ -410,7 +428,8 @@ def match_scan2map_tight_core(corner_map, surf_map,
         return local @ R.T + v[None, :] * dt - 0.5 * gravity[None, :] * dt * dt + p.t
 
     cache = None
-    if cfg.reuse_candidates and query_fn is None and query2_fn is None:
+    if cfg.reuse_candidates and query_fn is None \
+            and query2_fn is None and query_pair_fn is None:
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
@@ -424,7 +443,8 @@ def match_scan2map_tight_core(corner_map, surf_map,
         else:
             corr = _associate(corner_map, surf_map, scan_corner, scan_surf,
                               pose, cfg, corner_world=cw, surf_world=sw,
-                              query_fn=query_fn, query2_fn=query2_fn)
+                              query_fn=query_fn, query2_fn=query2_fn,
+                              query_pair_fn=query_pair_fn)
         n_edge = jnp.sum(corr.edge_valid.astype(jnp.float32))
         n_plane = jnp.sum(corr.plane_valid.astype(jnp.float32))
 

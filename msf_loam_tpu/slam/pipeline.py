@@ -61,6 +61,21 @@ def downsample_features(pb: PointBatch, leaf: float, capacity: int) -> PointBatc
     )
 
 
+def pose_is_finite(pose: Pose):
+    """Traced scalar: True iff every pose component is finite. The solve
+    watchdog gates on this — the reference aborts on glog CHECKs when a
+    degenerate solve produces NaN; a production pipeline must degrade to
+    the prior instead (SURVEY.md §5)."""
+    return jnp.all(jnp.isfinite(pose.t)) & jnp.all(jnp.isfinite(pose.q))
+
+
+def finite_point_mask(mask, xyz):
+    """Insert-side last line of defense: never let a non-finite point into
+    the map (a NaN coordinate hashes to a garbage cell and the leaf-dedup
+    keeps it forever)."""
+    return mask & jnp.all(jnp.isfinite(xyz), axis=-1)
+
+
 @dataclasses.dataclass
 class FrameResult:
     time: float
@@ -103,14 +118,20 @@ def fused_frame_step(cfg: MsfLoamConfig, corner_map, surf_map,
 
 def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                 prev_scan: ScanFeatures, scan: ScanFeatures,
-                pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose, is_first):
+                pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose, is_first,
+                query_fn=None, query2_fn=None, query_pair_fn=None,
+                insert_fn=None):
+    """Lidar-only frame body. The ``*_fn`` hooks swap the map backend —
+    the sharded pipeline injects multi-device packed queries and
+    owner-routed inserts so the SAME frame program runs dense or
+    distributed (parallel/sharded_pipeline.py)."""
     from msf_loam_tpu.slam import mapping as mapping_mod
     from msf_loam_tpu.slam import odometry as odometry_mod
     from msf_loam_tpu.slam import voxel_map as vm
 
     oc, mc = cfg.odometry, cfg.mapping
     odo = odometry_mod.match_scan2scan(prev_scan, scan, pose_c2l, oc)
-    use = odo.ok & ~is_first
+    use = odo.ok & ~is_first & pose_is_finite(odo.pose_curr2last)
     pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
                             odo.pose_curr2last, pose_c2l)
     step_pose = jax.tree.map(lambda i, p: jnp.where(is_first, i, p),
@@ -141,15 +162,16 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
         surf_ds = deskew_mod.undistort_from_motion(surf_ds, step_pose, dt)
 
     guess = pose_o2m.compose(pose_odom)
-    mres = mapping_mod.match_scan2map(corner_map, surf_map, corner_ds,
-                                      surf_ds, guess, mc)
+    mres = mapping_mod.match_scan2map_core(
+        corner_map, surf_map, corner_ds, surf_ds, guess, mc,
+        query_fn=query_fn, query2_fn=query2_fn,
+        query_pair_fn=query_pair_fn)
     # watchdog: a non-finite solve (degenerate geometry) falls back to the
     # odometry guess instead of poisoning the map (the reference aborts on
     # CHECKs; a production pipeline must degrade instead — SURVEY.md §5)
-    finite = jnp.all(jnp.isfinite(mres.pose.t)) & \
-        jnp.all(jnp.isfinite(mres.pose.q))
-    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok & finite, n, o),
-                            mres.pose, guess)
+    pose_map = jax.tree.map(
+        lambda n, o: jnp.where(mres.ok & pose_is_finite(mres.pose), n, o),
+        mres.pose, guess)
     pose_o2m = pose_map.compose(pose_odom.inverse())
 
     cw = corner_ds.transform(pose_map)
@@ -163,8 +185,12 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
         # back to the odometry pose, which is the right degradation.
         c_mask = c_mask & ~is_first
         s_mask = s_mask & ~is_first
-    corner_map = vm.insert(corner_map, cw.xyz, c_mask)
-    surf_map = vm.insert(surf_map, sw.xyz, s_mask)
+    if insert_fn is None:
+        insert_fn = vm.insert
+    corner_map = insert_fn(corner_map, cw.xyz,
+                           finite_point_mask(c_mask, cw.xyz))
+    surf_map = insert_fn(surf_map, sw.xyz,
+                         finite_point_mask(s_mask, sw.xyz))
     return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
             odo.n_correspondences, odo.ok | is_first)
 
@@ -194,7 +220,8 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                    scan_dts, scan_accs, scan_gyrs, scan_valid,
                    prev_p, prev_q, prev_v, gravity,
                    ba=None, bg=None,
-                   query_fn=None, query2_fn=None, insert_fn=None):
+                   query_fn=None, query2_fn=None, query_pair_fn=None,
+                   insert_fn=None):
     """The tightly-coupled (post-init) frame as ONE device program:
     extraction + scan-to-scan GN + pair/scan preintegration + IMU pre-solve
     + deskew-aware scan-to-map GN + full deskew + insert. The host only
@@ -205,7 +232,7 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     scan = feat_mod.extract_features(ring_image, scan_time, cfg.features)
 
     odo = odometry.match_scan2scan(prev_scan, scan, pose_c2l, oc)
-    use = odo.ok & ~is_first
+    use = odo.ok & ~is_first & pose_is_finite(odo.pose_curr2last)
     pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
                             odo.pose_curr2last, pose_c2l)
     step_pose = jax.tree.map(lambda i, p: jnp.where(is_first, i, p),
@@ -242,20 +269,29 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
             corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
             gravity, corner_dk, surf_dk, pre_pair, prev_state, mc,
             imu_weight=ic.imu_factor_weight,
-            query_fn=query_fn, query2_fn=query2_fn)
+            query_fn=query_fn, query2_fn=query2_fn,
+            query_pair_fn=query_pair_fn)
     else:
         mres = mapping.match_scan2map_deskew_core(
             corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
             gravity, corner_dk, surf_dk, mc,
-            query_fn=query_fn, query2_fn=query2_fn)
+            query_fn=query_fn, query2_fn=query2_fn,
+            query_pair_fn=query_pair_fn)
     guess = pose_o2m.compose(pose_odom)
-    pose_map = jax.tree.map(lambda n, o: jnp.where(mres.ok, n, o),
+    # watchdog (SURVEY.md §5): a non-finite tight/deskew solve — NaN IMU
+    # sample, degenerate map geometry — must not leak into the pose chain
+    solve_ok = mres.ok & pose_is_finite(mres.pose)
+    pose_map = jax.tree.map(lambda n, o: jnp.where(solve_ok, n, o),
                             mres.pose, guess)
     pose_o2m = pose_map.compose(pose_odom.inverse())
-    # tight mode refines velocity in the solve; fall back to the IMU
-    # prediction when the solve was skipped (degenerate map)
-    vel = jnp.where(mres.ok, mres.velocity, pred.v) if ic.tight_coupling \
-        else pred.v
+    # velocity fallback chain: solved -> IMU-predicted -> previous frame's
+    # (a NaN preintegration window poisons pred.v too)
+    if ic.tight_coupling:
+        vel = jnp.where(solve_ok & jnp.all(jnp.isfinite(mres.velocity)),
+                        mres.velocity, pred.v)
+    else:
+        vel = pred.v
+    vel = jnp.where(jnp.all(jnp.isfinite(vel)), vel, prev_v)
 
     # full deskew (velocity+gravity) before insertion (laser_mapping.cc:197-211)
     corner_fix = deskew_mod.undistort_full(corner_ds, pre_scan, pose_map,
@@ -266,8 +302,10 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     sw = surf_fix.transform(pose_map)
     if insert_fn is None:
         insert_fn = voxel_map.insert
-    corner_map = insert_fn(corner_map, cw.xyz, cw.mask)
-    surf_map = insert_fn(surf_map, sw.xyz, sw.mask)
+    corner_map = insert_fn(corner_map, cw.xyz, finite_point_mask(cw.mask,
+                                                                 cw.xyz))
+    surf_map = insert_fn(surf_map, sw.xyz, finite_point_mask(sw.mask,
+                                                             sw.xyz))
 
     return (corner_map, surf_map, pose_c2l, pose_odom, pose_o2m, pose_map,
             vel, odo.n_correspondences, odo.ok | is_first, scan)
@@ -339,10 +377,11 @@ class SlamPipeline:
         self._states.append(st)
         if len(self._states) == icfg.init_frames and not self.is_initialized:
             out = self._solve_gravity_window(self._states)
-            self.gravity = out.gravity
-            self.velocity = out.velocities[-1]
-            for i, s in enumerate(self._states):
-                s["v"] = np.asarray(out.velocities[i])
+            if self._grav_out_finite(out):
+                self.gravity = out.gravity
+                self.velocity = out.velocities[-1]
+                for i, s in enumerate(self._states):
+                    s["v"] = np.asarray(out.velocities[i])
             self.is_initialized = True
         elif (self.is_initialized and icfg.grav_refine_period > 0
               and len(self._states) >= 2 * icfg.init_frames
@@ -357,13 +396,21 @@ class SlamPipeline:
             # refining from post-init poses removes that floor.
             out = self._solve_gravity_window(
                 self._states[-icfg.init_frames:])
-            self.gravity = out.gravity
-            self.velocity = out.velocities[-1]
-            self._states[-1]["v"] = np.asarray(out.velocities[-1])
+            if self._grav_out_finite(out):
+                self.gravity = out.gravity
+                self.velocity = out.velocities[-1]
+                self._states[-1]["v"] = np.asarray(out.velocities[-1])
         if (self.is_initialized and icfg.bias_period > 0
                 and len(self._states) >= icfg.bias_window + 1
                 and len(self._states) % icfg.bias_period == 0):
             self._solve_bias()
+
+    @staticmethod
+    def _grav_out_finite(out) -> bool:
+        """Watchdog: never commit a non-finite gravity/velocity solution
+        (a NaN IMU window with all pairs rejected leaves the LS singular)."""
+        return bool(np.isfinite(np.asarray(out.gravity)).all()
+                    and np.isfinite(np.asarray(out.velocities)).all())
 
     def _solve_bias(self) -> None:
         """Windowed shared-bias GN over mapped-pose-anchored IMU factors
@@ -384,10 +431,16 @@ class SlamPipeline:
         poses_t = jnp.asarray(np.stack([s["p"] for s in sts]))
         poses_q = jnp.asarray(np.stack([s["q"] for s in sts]))
         vels0 = jnp.asarray(np.stack([s["v"] for s in sts]))
-        pair_valid = pres.sum_dt > 1e-6
+        pair_valid = (pres.sum_dt > 1e-6) \
+            & jnp.isfinite(pres.delta_p).all(-1) \
+            & jnp.isfinite(pres.delta_v).all(-1)
         out = bias_estimator.solve_bias_window(
             poses_t, poses_q, vels0, pres, pair_valid, self.gravity,
             self.bias_acc, self.bias_gyr, icfg)
+        if not (np.isfinite(np.asarray(out.ba)).all()
+                and np.isfinite(np.asarray(out.bg)).all()
+                and np.isfinite(np.asarray(out.velocities[-1])).all()):
+            return
         a = icfg.bias_ema
         self.bias_acc = a * self.bias_acc + (1 - a) * out.ba
         self.bias_gyr = a * self.bias_gyr + (1 - a) * out.bg
@@ -484,7 +537,8 @@ class SlamPipeline:
                 pred = imu_factor_mod.imu_presolve(
                     pre_pair, prev_state, self.gravity,
                     info_scale=cfg.imu.sqrt_info_scale)
-                self.velocity = pred.v
+                if bool(jnp.all(jnp.isfinite(pred.v))):
+                    self.velocity = pred.v
                 pre_scan = self._preintegrate_window(
                     scan_time, scan_time + cfg.features.scan_period)
                 corner_dk = deskew_mod.deskew_terms(
@@ -497,7 +551,8 @@ class SlamPipeline:
                         pred.pose, self.velocity, self.gravity,
                         corner_dk, surf_dk, pre_pair, prev_state,
                         cfg.mapping, imu_weight=cfg.imu.imu_factor_weight)
-                    if bool(mres.ok):
+                    if bool(mres.ok) and \
+                            bool(jnp.all(jnp.isfinite(mres.velocity))):
                         self.velocity = mres.velocity
                 else:
                     mres = mapping.match_scan2map_deskew(
@@ -508,7 +563,11 @@ class SlamPipeline:
                 mres = mapping.match_scan2map(
                     self.corner_map, self.surf_map, corner_ds, surf_ds,
                     pose_guess, cfg.mapping)
-            self.pose_map = mres.pose if bool(mres.ok) else pose_guess
+            # watchdog: gate on finiteness as well as ok (a degenerate
+            # solve must fall back to the guess, not poison the chain)
+            self.pose_map = mres.pose if (
+                bool(mres.ok) and bool(pose_is_finite(mres.pose))
+            ) else pose_guess
             # TransformUpdate (laser_mapping.h:59)
             self.pose_odom2map = self.pose_map.compose(self.pose_odom.inverse())
 
@@ -533,9 +592,11 @@ class SlamPipeline:
             corner_w = corner_ds.transform(self.pose_map)
             surf_w = surf_ds.transform(self.pose_map)
             self.corner_map = voxel_map.insert(
-                self.corner_map, corner_w.xyz, corner_w.mask)
+                self.corner_map, corner_w.xyz,
+                finite_point_mask(corner_w.mask, corner_w.xyz))
             self.surf_map = voxel_map.insert(
-                self.surf_map, surf_w.xyz, surf_w.mask)
+                self.surf_map, surf_w.xyz,
+                finite_point_mask(surf_w.mask, surf_w.xyz))
 
         if use_imu:
             with self.timers.stage("EST", "add-data"):

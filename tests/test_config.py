@@ -65,3 +65,10 @@ def test_corner_query_budget():
     assert mc.corner_query_points == 1024
     with pytest.raises(ValueError, match="max_corner_query_points"):
         MsfLoamConfig(mapping=MappingConfig(max_corner_query_points=3, knn=5))
+
+
+def test_negative_corner_query_budget_rejected():
+    # ADVICE r3: -5 is truthy, so the `or` fallback in corner_query_points
+    # never triggers — a negative budget must be a config-time error
+    with pytest.raises(ValueError, match="max_corner_query_points"):
+        MsfLoamConfig(mapping=MappingConfig(max_corner_query_points=-5))
