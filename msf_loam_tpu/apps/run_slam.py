@@ -39,6 +39,13 @@ def build_argparser() -> argparse.ArgumentParser:
                          "when processing falls behind (the reference's "
                          "real-time mode, laser_mapping.cc:159-165)")
     ap.add_argument("--online_speed", type=float, default=1.0)
+    ap.add_argument("--listen",
+                    help="consume a LIVE scan/IMU stream from another "
+                         "process at this address ('host:port' or "
+                         "'unix:/path'; dataio/stream.py protocol) with "
+                         "backlog shedding — the live-topics online mode "
+                         "(msf_loam_node.cc:464-477 analog). Producer: "
+                         "scripts/stream_producer.py")
     ap.add_argument("--config", help="config JSON (native or reference proto-JSON)")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--n_rings", type=int, default=64)
@@ -262,13 +269,17 @@ def main(argv=None) -> int:
                                                cfg.posegraph.sim_gps_noise, 3))
             logger.info("frame %d: t=%s ok=%s", i,
                         np.round(np.asarray(res.map_pose.t), 3), res.ok)
-    elif args.bag:
-        # bag replay: scans + IMU + gt odometry in timestamp order
-        # (the reference's offline rosbag loop, msf_loam_node.cc:448-459)
+    elif args.bag or args.listen:
+        # bag replay (the reference's offline rosbag loop,
+        # msf_loam_node.cc:448-459) or live stream ingest (--listen: the
+        # live-topics mode, msf_loam_node.cc:464-477) — same message loop,
+        # same shedding policy
         from msf_loam_tpu.dataio.npz_bag import Bag, ImuMsg, OdomMsg, ScanMsg
         bag_path = args.bag
-        with open(bag_path, "rb") as _f:
-            is_rosbag = _f.read(13) == b"#ROSBAG V2.0\n"
+        is_rosbag = False
+        if bag_path:
+            with open(bag_path, "rb") as _f:
+                is_rosbag = _f.read(13) == b"#ROSBAG V2.0\n"
         if is_rosbag:
             # real ROS1 bag: convert via the pure-Python reader
             # (dataio/rosbag.py), cached next to the outputs
@@ -283,28 +294,39 @@ def main(argv=None) -> int:
                 logger.info("converted ROS bag %s -> %s (%s)", bag_path,
                             conv, counts)
             bag_path = conv
-        bag = Bag(bag_path)
         pipe = _make_pipeline(cfg, args)
         counter = 0
         n_scans = 0
         n_dropped = 0
-        if args.online:
-            # online mode: wall-clock replay with backlog shedding
-            busy_holder = [0.0]
-            stream = bag.replay_realtime(speed=args.online_speed,
-                                         busy_until=lambda: busy_holder[0])
-            def messages():
-                for msg, dropped in stream:
-                    yield msg, dropped
+        gt_stamped = []
+        busy_holder = [0.0]
+        server = None
+        if args.listen:
+            from msf_loam_tpu.dataio.stream import StreamServer
+            server = StreamServer(args.listen)
+            logger.info("listening for scan/IMU stream on %s",
+                        server.address)
+            messages = server.messages
         else:
-            def messages():
-                for msg in bag.replay():
-                    yield msg, False
+            bag = Bag(bag_path)
+            if args.online:
+                # online mode: wall-clock replay with backlog shedding
+                stream = bag.replay_realtime(
+                    speed=args.online_speed,
+                    busy_until=lambda: busy_holder[0])
+
+                def messages():
+                    for msg, dropped in stream:
+                        yield msg, dropped
+            else:
+                def messages():
+                    for msg in bag.replay():
+                        yield msg, False
         for msg, dropped in messages():
             if isinstance(msg, ImuMsg):
                 pipe.add_imu(msg.time, msg.acc, msg.gyr)
             elif isinstance(msg, OdomMsg):
-                gt_t.append(msg.t)
+                gt_stamped.append((msg.time, msg.t))
                 counter += 1
                 if args.sim_gps and counter % cfg.posegraph.sim_gps_period == 0:
                     gps_times.append(msg.time)
@@ -330,7 +352,16 @@ def main(argv=None) -> int:
                 n_scans += 1
                 logger.info("scan @%.2f: t=%s", msg.time,
                             np.round(np.asarray(res.map_pose.t), 2))
-        gt_t = gt_t[:len(pipe.results)]
+        if server is not None:
+            server.close()
+        # align gt with the scans actually PROCESSED (nearest timestamp):
+        # under online/stream shedding the prefix pairing is wrong — a
+        # dropped scan must drop its gt row too
+        if gt_stamped and pipe.results:
+            g_times = np.asarray([g[0] for g in gt_stamped])
+            g_pos = np.asarray([g[1] for g in gt_stamped])
+            for r in pipe.results:
+                gt_t.append(g_pos[int(np.argmin(np.abs(g_times - r.time)))])
     else:
         if not args.kitti_root:
             print("error: --kitti_root, --bag or --selftest required",
@@ -375,7 +406,7 @@ def main(argv=None) -> int:
         "elapsed_s": round(elapsed, 2),
         "scans_per_sec": round(n_frames / elapsed, 2),
     }
-    if args.bag and args.online:
+    if (args.bag and args.online) or args.listen:
         summary["dropped_scans"] = n_dropped
 
     # shutdown-time pose-graph fusion (~LaserMapping dtor, laser_mapping.cc:92)

@@ -19,9 +19,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# force the 8-virtual-device CPU backend regardless of ambient env (the
+# sitecustomize axon-TPU pin would otherwise win and give a 1-device,
+# collective-free program)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import numpy as np
 
@@ -80,14 +83,16 @@ def main():
 
     n_dev = len(jax.devices())
     mesh = mesh_mod.make_mesh(n_map=n_dev, n_data=1)
+    # tiny shapes: the census counts OPS, which are shape-independent —
+    # small programs keep the CPU compile fast
     cfg = MsfLoamConfig(
-        features=FeatureConfig(max_points_per_ring=2048, max_less_flat=4096),
-        mapping=MappingConfig(map_table_size=1 << 13, max_query_points=2048))
+        features=FeatureConfig(max_points_per_ring=1024, max_less_flat=1024),
+        mapping=MappingConfig(map_table_size=1 << 11, max_query_points=512))
     mc = cfg.mapping
 
     world = synthetic.World.corridor(seed=0, size=14.0)
     xyz, ring = synthetic.simulate_scan(world, np.zeros(3), np.eye(3),
-                                        n_rings=16, pts_per_ring=1800,
+                                        n_rings=16, pts_per_ring=900,
                                         noise=0.004, seed=0)
     img = preprocess.preprocess_scan(xyz, ring, cfg.features, num_rings=16)
     scan = feat_mod.extract_features(img, jnp.float32(0.0), cfg.features)

