@@ -208,13 +208,20 @@ def main():
     else:
         batched_sps, batch = 0.0, 0
 
-    # tightly-coupled LIO mode (MSF_BENCH_LIO=1): times fused_lio_frame
-    # (preintegration + IMU pre-solve + deskew GN + full deskew) instead
-    # of reporting the lidar-only number.
-    if _os.environ.get("MSF_BENCH_LIO", "0") == "1":
-        lio_sps = run_lio_mode()
-        print(f"# lio fused frame: {lio_sps:.1f} scans/s", file=sys.stderr)
-        single_sps = lio_sps
+    # tightly-coupled LIO mode: times fused_lio_frame (preintegration +
+    # IMU pre-solve + deskew GN + full deskew + insert) — the flagship
+    # Multi-Sensor-Fusion configuration, reported alongside the lidar-only
+    # number by default (VERDICT r3 next #2). MSF_BENCH_LIO=0 skips;
+    # MSF_BENCH_LIO=only makes it the contract headline.
+    lio_sps = None
+    lio_env = _os.environ.get("MSF_BENCH_LIO", "1")
+    if lio_env != "0":
+        try:
+            lio_sps = run_lio_mode()
+        except Exception as e:  # pragma: no cover
+            print(f"# lio pass failed: {e}", file=sys.stderr)
+    if lio_env == "only" and lio_sps:
+        single_sps, batched_sps = lio_sps, 0.0
 
     scans_per_sec = max(single_sps, batched_sps)
     result = {
@@ -225,10 +232,15 @@ def main():
     }
     print(json.dumps(result))
     extra = f", 64-ring: {sps64:.1f} scans/s" if sps64 else ""
+    extra += f", lio: {lio_sps:.1f} scans/s" if lio_sps else ""
     print(f"# single-stream ({N_RINGS}-ring): {single_sps:.1f} scans/s"
           f"{extra}, batched (B={batch}): {batched_sps:.1f} scans/s, "
           f"compile+first: {compile_and_first:.1f}s, "
           f"platform: {jax.devices()[0].platform}", file=sys.stderr)
+
+    if _os.environ.get("MSF_BENCH_ROOFLINE", "0") == "1":
+        import roofline
+        roofline.report(N_RINGS, PTS_PER_RING, file=sys.stderr)
 
 
 def run_lio_mode(n_frames=N_FRAMES, n_reps=3):

@@ -322,9 +322,42 @@ def main(argv=None) -> int:
                 def messages():
                     for msg in bag.replay():
                         yield msg, False
+        def do_scan(msg):
+            nonlocal n_scans
+            if args.max_frames and n_scans >= args.max_frames:
+                return
+            t_proc0 = time.perf_counter()
+            img = preprocess.preprocess_scan(
+                msg.xyz, msg.ring, cfg.features, args.n_rings)
+            res = pipe.process_ring_image(img, msg.time)
+            maybe_keyframe(pipe)
+            if args.online:
+                busy_holder[0] = time.perf_counter() + \
+                    0.5 * (time.perf_counter() - t_proc0)
+            n_scans += 1
+            logger.info("scan @%.2f: t=%s", msg.time,
+                        np.round(np.asarray(res.map_pose.t), 2))
+
+        # IMU/scan sync (the reference's buffer handoff,
+        # msf_loam_node.cc:380-410): a scan's deskew window spans
+        # [t, t+scan_period], so with an active IMU stream each scan is
+        # HELD until IMU coverage through its window end has arrived —
+        # messages replay in timestamp order, so processing a scan the
+        # moment it appears would always find an empty window.
+        pending_scans = []
+
+        def flush_scans(force=False):
+            while pending_scans:
+                deadline = pending_scans[0].time + cfg.features.scan_period
+                if not force and len(pipe.imu_buffer) and \
+                        pipe.imu_buffer.times[-1] < deadline:
+                    break
+                do_scan(pending_scans.pop(0))
+
         for msg, dropped in messages():
             if isinstance(msg, ImuMsg):
                 pipe.add_imu(msg.time, msg.acc, msg.gyr)
+                flush_scans()
             elif isinstance(msg, OdomMsg):
                 gt_stamped.append((msg.time, msg.t))
                 counter += 1
@@ -341,17 +374,12 @@ def main(argv=None) -> int:
                     continue
                 if args.max_frames and n_scans >= args.max_frames:
                     continue
-                t_proc0 = time.perf_counter()
-                img = preprocess.preprocess_scan(
-                    msg.xyz, msg.ring, cfg.features, args.n_rings)
-                res = pipe.process_ring_image(img, msg.time)
-                maybe_keyframe(pipe)
-                if args.online:
-                    busy_holder[0] = time.perf_counter() + \
-                        0.5 * (time.perf_counter() - t_proc0)
-                n_scans += 1
-                logger.info("scan @%.2f: t=%s", msg.time,
-                            np.round(np.asarray(res.map_pose.t), 2))
+                if len(pipe.imu_buffer):
+                    pending_scans.append(msg)
+                    flush_scans()
+                else:
+                    do_scan(msg)           # lidar-only bag: no sync needed
+        flush_scans(force=True)
         if server is not None:
             server.close()
         # align gt with the scans actually PROCESSED (nearest timestamp):

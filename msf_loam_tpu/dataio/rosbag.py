@@ -220,10 +220,13 @@ _PARSERS = {
 }
 
 
-def read_messages(path: str, topics: Optional[List[str]] = None
+def read_messages(path: str, topics: Optional[List[str]] = None,
+                  raw: bool = False
                   ) -> Iterator[Tuple[str, float, RosMsg]]:
     """Yield (topic, record_time, parsed_msg) in file order for the three
-    supported message types (others are skipped silently)."""
+    supported message types (others are skipped silently). With
+    ``raw=True`` yield the serialized message bytes instead of parsing
+    (field-level inspection, e.g. scripts/make_nsh_bag.validate_bag)."""
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
@@ -261,7 +264,7 @@ def read_messages(path: str, topics: Optional[List[str]] = None
                 if parser is None:
                     continue
                 t_rec = _ros_time(header[b"time"])
-                yield topic, t_rec, parser(data)
+                yield topic, t_rec, (data if raw else parser(data))
             # OP_BAG_HEADER / OP_INDEX / OP_CHUNK_INFO: skip
 
     yield from handle(_iter_records(buf))

@@ -19,12 +19,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# force the 8-virtual-device CPU backend regardless of ambient env (the
-# sitecustomize axon-TPU pin would otherwise win and give a 1-device,
-# collective-free program)
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# force the 8-virtual-device CPU backend regardless of ambient env. The
+# sitecustomize axon-TPU pin runs at interpreter START — before this
+# script body — so setting the vars here is too late; re-exec with the
+# corrected environment instead (a 1-device axon run would census a
+# collective-free program AND wedge the shared TPU tunnel).
+_WANT = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+         "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+if any(os.environ.get(k) != v for k, v in _WANT.items()):
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              {**os.environ, **_WANT})
 
 import numpy as np
 

@@ -1,0 +1,59 @@
+"""Day-one real-bag compatibility (VERDICT r3 next #6): a byte-exact
+NSH-style ROS1 bag — PointCloud2 with ring/time fields in CW ring order,
+400 Hz IMU, /odometry_gt — built by scripts/make_nsh_bag.py, validated
+with the reference validation script's semantics, and driven through the
+FULL CLI (`run_slam --bag ... --loop_closure --eval`)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+FRAMES = 210
+_BAG = os.path.join(REPO, ".cache", f"nsh_fixture_v1_{FRAMES}.bag")
+
+
+@pytest.fixture(scope="module")
+def nsh_bag():
+    if not os.path.exists(_BAG):
+        from make_nsh_bag import build_nsh_bag
+        os.makedirs(os.path.dirname(_BAG), exist_ok=True)
+        build_nsh_bag(_BAG + ".tmp", frames=FRAMES)
+        os.replace(_BAG + ".tmp", _BAG)
+    return _BAG
+
+
+def test_fixture_passes_reference_validation(nsh_bag):
+    """The reference's validate_velodyne_cloud_in_bag.py semantics: time
+    field present, rings ordered by vertical angle, CW point order."""
+    from make_nsh_bag import validate_bag
+
+    info = validate_bag(nsh_bag)
+    assert info["scans_checked"] >= 3
+
+
+def test_full_cli_on_nsh_bag(nsh_bag, tmp_path):
+    """The complete reference workflow on a real .bag: ingest (bz2 ROS1
+    container -> PointCloud2/Imu/Odometry codecs), LIO SLAM, loop
+    closure, ATE eval — one subprocess, exactly as a reference user would
+    run it."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "PYTHONPATH": REPO}
+    out = subprocess.run(
+        [sys.executable, "-m", "msf_loam_tpu.apps.run_slam",
+         "--bag", nsh_bag, "--loop_closure", "--eval", "--quiet",
+         "--n_rings", "16", "--output_dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, timeout=1500, text=True)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["frames"] == FRAMES, summary
+    # the courtyard lap revisits its start: loop closure must fire
+    assert summary.get("loop_edges", 0) >= 1, summary
+    # regression bound: measured 0.039 m ATE on the 37.6 m lap (r4);
+    # 3x headroom
+    assert summary["ate_rmse_m"] < 0.12, summary
