@@ -46,6 +46,10 @@ class FeatureConfig:
     # --- static-shape budgets for the TPU arrays ---
     max_points_per_ring: int = 2048    # ring buffer width (VLP-16 ~1800/rev @10Hz)
     max_less_flat: int = 8192          # cap on downsampled less-flat points
+    # fused Pallas pick-rounds kernel (ops/pick_rounds.py): all 9 greedy
+    # pick rounds in one VMEM-resident pass. "auto" = on TPU only (the
+    # XLA rounds stay the reference implementation and the CPU path)
+    fused_picks: str = "auto"          # auto | on | off
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +58,10 @@ class OdometryConfig:
 
     dist_sq_threshold: float = 25.0    # kDistanceSqThreshold (odometry_scan_matcher.cc:16)
     nearby_scan: float = 2.5           # kNearByScan ring window (odometry_scan_matcher.cc:17)
+    # fused Pallas correspondence reductions (ops/odo_corr.py): the (N, M)
+    # distance matrix never materializes in HBM. "auto" = on TPU only;
+    # the XLA reductions stay the reference implementation / CPU path
+    fused_corr: str = "auto"           # auto | on | off
     outer_rounds: int = 2              # kOptimalNum (odometry_scan_matcher.cc:18)
     gn_iterations: int = 6             # ceres max_num_iterations (odometry_scan_matcher.cc:271)
     huber_delta: float = 0.1           # HuberLoss(0.1) (odometry_scan_matcher.cc:67)

@@ -238,6 +238,67 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
     return picks, suppressed
 
 
+def use_fused_picks(cfg: FeatureConfig) -> bool:
+    """Resolve the fused_picks tri-state (Pallas kernel on TPU by default;
+    the XLA rounds stay the reference implementation and the CPU path)."""
+    if cfg.fused_picks == "on":
+        return True
+    if cfg.fused_picks == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def run_pick_rounds(curv: Array, pickable: Array, sector: Array, gap: Array,
+                    corner_gate_arr: Array, cfg: FeatureConfig):
+    """All three pick phases (sharp -> less-sharp -> flat, chained
+    suppression). Returns (corner_picks (20,R,S), flat_picks (4,R,S),
+    suppressed-after-corner-phases) — the latter is what the less-flat
+    mask consumes. On TPU the phases run as ONE Pallas kernel
+    (ops.pick_rounds, bit-identical picks — tests/test_pick_rounds.py)."""
+    n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
+    if use_fused_picks(cfg):
+        from msf_loam_tpu.ops.pick_rounds import pick_rounds_pallas
+
+        score_c = jnp.where(pickable & (curv > corner_gate_arr), curv, -_BIG)
+        score_f = jnp.where(pickable & (curv < cfg.curvature_threshold),
+                            -curv, -_BIG)
+        bad = (gap > cfg.neighbor_gap_sq).astype(jnp.int32)
+        cb0 = jnp.cumsum(bad, axis=1) - bad
+        return pick_rounds_pallas(
+            score_c, score_f, sector, cb0,
+            S=cfg.num_sectors, nsup=cfg.neighbor_suppress,
+            n_sharp=cfg.sharp_per_sector, n_rest=n_rest, rest_T=6,
+            n_flat=cfg.flat_per_sector)
+
+    # XLA rounds (reference implementation; CPU path)
+    corner_gate = lambda c: c > corner_gate_arr
+    # corner picks (max curvature, > threshold): the sharp picks stay
+    # exact single-pick rounds (they anchor the edge factors); the bulk
+    # less-sharp picks batch up in top-6 rounds
+    sharp_picks, suppressed = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=cfg.sharp_per_sector, maximize=True,
+        curv_gate=corner_gate, picks_per_round=1,
+    )
+    rest_picks, suppressed = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=n_rest, maximize=True, curv_gate=corner_gate,
+        picks_per_round=6, suppressed0=suppressed,
+    )
+    corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
+    # flat picks (min curvature, < threshold): exact single-pick rounds,
+    # respecting corner suppression. (Multi-pick flats measurably degrade
+    # odometry rotation accuracy — the 4 flat anchors per sector carry the
+    # plane constraints; keep them exact.)
+    flat_picks, _ = _pick_rounds(
+        curv, pickable, sector, gap, cfg,
+        n_total=cfg.flat_per_sector, maximize=False,
+        curv_gate=lambda c: c < cfg.curvature_threshold,
+        picks_per_round=1, suppressed0=suppressed,
+    )
+    return corner_picks, flat_picks, suppressed
+
+
 def _gather_picks(ring_image: RingImage, picks: Array, n_keep: int,
                   capacity: int) -> PointBatch:
     """Gather pick rounds 0..n_keep-1 into a flat PointBatch of fixed size.
@@ -303,32 +364,8 @@ def extract_features(ring_image: RingImage, scan_time: Array,
 
     corner_gate_arr = corner_gate_array(curv, eligible, sector, cfg)
 
-    # corner picks (max curvature, > threshold): the sharp picks stay
-    # exact single-pick rounds (they anchor the edge factors); the bulk
-    # less-sharp picks batch up in top-6 rounds
-    corner_gate = lambda c: c > corner_gate_arr
-    sharp_picks, suppressed = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=cfg.sharp_per_sector, maximize=True,
-        curv_gate=corner_gate, picks_per_round=1,
-    )
-    n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
-    rest_picks, suppressed = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=n_rest, maximize=True, curv_gate=corner_gate,
-        picks_per_round=6, suppressed0=suppressed,
-    )
-    corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
-    # flat picks (min curvature, < threshold): exact single-pick rounds,
-    # respecting corner suppression. (Multi-pick flats measurably degrade
-    # odometry rotation accuracy — the 4 flat anchors per sector carry the
-    # plane constraints; keep them exact.)
-    flat_picks, _ = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=cfg.flat_per_sector, maximize=False,
-        curv_gate=lambda c: c < cfg.curvature_threshold,
-        picks_per_round=1, suppressed0=suppressed,
-    )
+    corner_picks, flat_picks, suppressed = run_pick_rounds(
+        curv, pickable, sector, gap, corner_gate_arr, cfg)
 
     sharp = _gather_picks(ring_image, corner_picks, cfg.sharp_per_sector,
                           R * S * cfg.sharp_per_sector)
@@ -413,25 +450,8 @@ def extract_features_batched(imgs: RingImage, scan_time: Array,
     pickable = eligible & ~unreliable_mask(xyz, mask, cfg)
     corner_gate_arr = corner_gate_array(curv, eligible, sector, cfg)
 
-    corner_gate = lambda c: c > corner_gate_arr
-    sharp_picks, suppressed = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=cfg.sharp_per_sector, maximize=True,
-        curv_gate=corner_gate, picks_per_round=1,
-    )
-    n_rest = cfg.less_sharp_per_sector - cfg.sharp_per_sector
-    rest_picks, suppressed = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=n_rest, maximize=True, curv_gate=corner_gate,
-        picks_per_round=6, suppressed0=suppressed,
-    )
-    corner_picks = jnp.concatenate([sharp_picks, rest_picks], axis=0)
-    flat_picks, _ = _pick_rounds(
-        curv, pickable, sector, gap, cfg,
-        n_total=cfg.flat_per_sector, maximize=False,
-        curv_gate=lambda c: c < cfg.curvature_threshold,
-        picks_per_round=1, suppressed0=suppressed,
-    )
+    corner_picks, flat_picks, suppressed = run_pick_rounds(
+        curv, pickable, sector, gap, corner_gate_arr, cfg)
 
     # within-lane ring index per flattened row: row b*R + r -> r
     ring_row = jnp.tile(jnp.arange(R, dtype=jnp.int32), B)[:, None]  # (BR, 1)

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused scan-to-scan correspondence reductions.
+
+``slam.odometry`` builds its correspondences from an exact (N, M) squared
+distance matrix (_corr_d2). As XLA that matrix MATERIALIZES in HBM
+(23-50 MB at HDL-64 scale) and every selection — nearest neighbor a,
+ring-windowed nearest b/c, the approx_min_k candidate pass — re-reads it;
+measured ~2 ms/frame at 64-ring, second-largest stage of the fused frame
+(scripts/profile_fused_ablate.py).
+
+This kernel never touches HBM with the matrix: the whole reference cloud
+(M x,y,z,ring planes — <=130 KB) rides in VMEM, each grid block computes
+a (Nb, M) distance tile in registers/VMEM, and ALL reductions fuse over
+it in one pass:
+
+  - a:    global (min, first-argmin) — the unrestricted nearest neighbor;
+  - ring_a = ref.ring[a_idx], recovered with a lane-select reduction;
+  - c:    (min, argmin) over the different-nearby-ring window
+          (0 < |ring - ring_a| <= nearby_scan) — the reference's
+          cross-scan-line walk (odometry_scan_matcher.cc:95-141,186-232);
+  - K binned candidate minima ((min, argmin) per M/K contiguous chunk) —
+    the approx_min_k-class candidate pool the plane supports select from
+    (same recall character: one survivor per bin).
+
+HBM traffic: queries in, (Nb, 1+1+K) selections out. The b-pick, plane
+fits and residual gates stay XLA over the tiny (N, K) pool.
+
+tests/test_odo_corr.py pins the kernel (interpreter mode) against the
+XLA reductions; scripts/verify_pick_rounds_tpu.py-style device check in
+scripts/verify_odo_corr_tpu.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_INF = 3.0e38
+
+
+def _min_argmin(d2, m_iota, M):
+    """(min, first-argmin) along lanes of a (Nb, M) tile."""
+    v = jnp.min(d2, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(d2 <= v, m_iota, M), axis=1, keepdims=True)
+    return v, idx
+
+
+def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
+                     a_ref, c_ref, cand_ref, *,
+                     K: int, nearby: float, M: int):
+    Nb = q_ref.shape[0]
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (Nb, M), 1)
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    dx = rx_ref[:] - qx                       # (Nb, M) via (1,M)-(Nb,1)
+    dy = ry_ref[:] - qy
+    dz = rz_ref[:] - qz
+    d2 = dx * dx + dy * dy + dz * dz
+    ring = rring_ref[:]                       # (1, M) f32
+
+    a_d2, a_idx = _min_argmin(d2, m_iota, M)
+    ring_a = jnp.min(jnp.where(m_iota == a_idx, ring, _INF), axis=1,
+                     keepdims=True)           # (Nb, 1)
+
+    dr = jnp.abs(ring - ring_a)               # (Nb, M)
+    in_window = (dr > 0.0) & (dr <= nearby)
+    c_all = jnp.where(in_window, d2, _INF)
+    c_d2, c_idx = _min_argmin(c_all, m_iota, M)
+
+    a_ref[:, 0:1] = a_d2
+    a_ref[:, 1:2] = a_idx.astype(jnp.float32)
+    c_ref[:, 0:1] = c_d2
+    c_ref[:, 1:2] = c_idx.astype(jnp.float32)
+
+    if K:
+        B = M // K
+        for k in range(K):
+            chunk = d2[:, k * B:(k + 1) * B]
+            ci = m_iota[:, k * B:(k + 1) * B]
+            v = jnp.min(chunk, axis=1, keepdims=True)
+            idx = jnp.min(jnp.where(chunk <= v, ci, M), axis=1,
+                          keepdims=True)
+            cand_ref[:, k:k + 1] = v
+            cand_ref[:, K + k:K + k + 1] = idx.astype(jnp.float32)
+
+
+class OdoCorr(NamedTuple):
+    a_d2: Array      # (N,)
+    a_idx: Array     # (N,) int32
+    c_d2: Array      # (N,) nearest different-nearby-ring
+    c_idx: Array     # (N,) int32
+    cand_d2: Array   # (N, K) per-bin minima (K=0 -> (N, 0))
+    cand_idx: Array  # (N, K) int32
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "nearby", "nb", "interpret"))
+def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
+                    ref_ring: Array, *, K: int = 16, nearby: float = 2.5,
+                    nb: int = 256, interpret: bool = None) -> OdoCorr:
+    """Fused correspondence reductions for one query cloud against one
+    reference cloud (see module docstring).
+
+    Args:
+      q_world: (N, 3) query points in the reference frame.
+      ref_xyz/ref_mask/ref_ring: the reference cloud; masked points are
+        pushed to a far sentinel so every window naturally excludes them.
+      K: candidate bins (0 = skip the pool — the edge path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N = q_world.shape[0]
+    pad_n = (-N) % nb
+    q = jnp.pad(q_world.astype(jnp.float32), ((0, pad_n), (0, 0)))
+    npad = N + pad_n
+    # pad M so the K bins divide evenly (pads read as masked-far points)
+    pad_m = (-ref_xyz.shape[0]) % (K * 128 if K else 128)
+    rxyz = jnp.where(ref_mask[:, None], ref_xyz.astype(jnp.float32), 1e9)
+    rxyz = jnp.pad(rxyz, ((0, pad_m), (0, 0)), constant_values=1e9)
+    M = rxyz.shape[0]
+    rx = rxyz[:, 0].reshape(1, M)
+    ry = rxyz[:, 1].reshape(1, M)
+    rz = rxyz[:, 2].reshape(1, M)
+    # masked ref rings sit far outside every window so c never picks them
+    rring = jnp.where(ref_mask, ref_ring.astype(jnp.float32), 1e6)
+    rring = jnp.pad(rring, (0, pad_m),
+                    constant_values=1e6).reshape(1, M)
+
+    kc = max(K, 1)
+    a, c, cand = pl.pallas_call(
+        functools.partial(_odo_corr_kernel, K=K, nearby=nearby, M=M),
+        grid=(npad // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 2 * kc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 2 * kc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q, rx, ry, rz, rring)
+    return OdoCorr(
+        a_d2=a[:N, 0], a_idx=a[:N, 1].astype(jnp.int32),
+        c_d2=c[:N, 0], c_idx=c[:N, 1].astype(jnp.int32),
+        cand_d2=cand[:N, :K], cand_idx=cand[:N, K:2 * K].astype(jnp.int32),
+    )

@@ -67,21 +67,41 @@ class PlaneCorrespondences(NamedTuple):
     valid: Array
 
 
+def use_fused_corr(cfg: OdometryConfig) -> bool:
+    """Resolve the fused_corr tri-state (Pallas kernel on TPU by default;
+    the XLA reductions stay the reference implementation / CPU path)."""
+    if cfg.fused_corr == "on":
+        return True
+    if cfg.fused_corr == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def find_edge_correspondences(query: PointBatch, ref: PointBatch, pose: Pose,
                               cfg: OdometryConfig,
                               gate_scale: float = 1.0) -> EdgeCorrespondences:
     q_world = pose.apply(query.xyz)
-    d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
 
-    a_sel = jnp.argmin(d2, axis=1)
-    a_ok = (jnp.min(d2, axis=1) < cfg.dist_sq_threshold) & query.mask
-    ring_a = ref.ring[a_sel]
+    if use_fused_corr(cfg):
+        from msf_loam_tpu.ops.odo_corr import odo_corr_pallas
 
-    # b: nearest point on a different, nearby ring (exact over all of ref)
-    dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
-    b_d2 = jnp.where((dr > 0) & (dr <= cfg.nearby_scan), d2, jnp.inf)
-    b_sel = jnp.argmin(b_d2, axis=1)
-    b_ok = jnp.min(b_d2, axis=1) < cfg.dist_sq_threshold
+        oc = odo_corr_pallas(q_world, ref.masked_xyz(), ref.mask, ref.ring,
+                             K=0, nearby=cfg.nearby_scan)
+        a_sel = oc.a_idx
+        a_ok = (oc.a_d2 < cfg.dist_sq_threshold) & query.mask
+        b_sel = oc.c_idx
+        b_ok = oc.c_d2 < cfg.dist_sq_threshold
+    else:
+        d2 = _corr_d2(q_world, query.mask, ref)                  # (N, M)
+        a_sel = jnp.argmin(d2, axis=1)
+        a_ok = (jnp.min(d2, axis=1) < cfg.dist_sq_threshold) & query.mask
+        ring_a = ref.ring[a_sel]
+
+        # b: nearest on a different, nearby ring (exact over all of ref)
+        dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
+        b_d2 = jnp.where((dr > 0) & (dr <= cfg.nearby_scan), d2, jnp.inf)
+        b_sel = jnp.argmin(b_d2, axis=1)
+        b_ok = jnp.min(b_d2, axis=1) < cfg.dist_sq_threshold
 
     a_xyz = ref.xyz[a_sel]
     b_xyz = ref.xyz[b_sel]
@@ -155,34 +175,51 @@ def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
     (non-planar -> fit invalid) instead of letting Huber merely cap their
     signed pull."""
     q_world = pose.apply(query.xyz)
-    d2 = _corr_d2(q_world, query.mask, ref)                      # (N, M)
-
-    a_min = jnp.min(d2, axis=1)
-    a_sel = jnp.argmin(d2, axis=1)
-    a_ok = (a_min < cfg.dist_sq_threshold) & query.mask
-    ring_a = ref.ring[a_sel]
-    dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
-    diff_ring = (dr > 0) & (dr <= cfg.nearby_scan)
-
-    # c: nearest DIFFERENT-ring point, exact over the full row. This is the
-    # completeness guarantee a small candidate list cannot give: on
-    # surfaces grazed along the ring the K nearest are ALL same-ring
-    # (voxel-leaf spacing ~0.2 m vs multi-meter ring spacing at range) and
-    # the cross-ring span — the only z-observability on far ground — never
-    # surfaces (same lesson as the edge b-search, _corr_d2 docstring).
-    c_d2 = jnp.where(diff_ring, d2, jnp.inf)
-    c_min = jnp.min(c_d2, axis=1)
-    c_sel = jnp.argmin(c_d2, axis=1)
-    c_ok = c_min < cfg.dist_sq_threshold
-
-    # everything else selects from ONE K-candidate pass. Exact masked
-    # top_k over the (N, M) row costs ~4 ms/call on TPU (sort-based); the
-    # measured fused-loop cost of three of them was 13 ms/scan — 67% of
-    # the batched frame. approx_min_k is the TPU-native binned reduction
-    # (recall ~0.95 at K=16; a missed candidate only narrows a plane
-    # support by one point).
     K = 16
-    cand_d2, cand_idx = jax.lax.approx_min_k(d2, K)              # (N, K)
+
+    if use_fused_corr(cfg):
+        # fused reductions: a / different-ring c / K binned candidate
+        # minima in ONE VMEM pass — the (N, M) matrix never lands in HBM
+        # (ops/odo_corr.py). The bin pool has the same recall character
+        # as approx_min_k (one survivor per contiguous bin).
+        from msf_loam_tpu.ops.odo_corr import odo_corr_pallas
+
+        oc = odo_corr_pallas(q_world, ref.masked_xyz(), ref.mask, ref.ring,
+                             K=K, nearby=cfg.nearby_scan)
+        a_sel = oc.a_idx
+        a_ok = (oc.a_d2 < cfg.dist_sq_threshold) & query.mask
+        ring_a = ref.ring[a_sel]
+        c_sel = oc.c_idx
+        c_ok = oc.c_d2 < cfg.dist_sq_threshold
+        cand_d2, cand_idx = oc.cand_d2, oc.cand_idx
+    else:
+        d2 = _corr_d2(q_world, query.mask, ref)                  # (N, M)
+        a_min = jnp.min(d2, axis=1)
+        a_sel = jnp.argmin(d2, axis=1)
+        a_ok = (a_min < cfg.dist_sq_threshold) & query.mask
+        ring_a = ref.ring[a_sel]
+        dr = jnp.abs(ref.ring[None, :] - ring_a[:, None]).astype(jnp.float32)
+        diff_ring = (dr > 0) & (dr <= cfg.nearby_scan)
+
+        # c: nearest DIFFERENT-ring point, exact over the full row. This
+        # is the completeness guarantee a small candidate list cannot
+        # give: on surfaces grazed along the ring the K nearest are ALL
+        # same-ring (voxel-leaf spacing ~0.2 m vs multi-meter ring spacing
+        # at range) and the cross-ring span — the only z-observability on
+        # far ground — never surfaces (same lesson as the edge b-search,
+        # _corr_d2 docstring).
+        c_d2 = jnp.where(diff_ring, d2, jnp.inf)
+        c_min = jnp.min(c_d2, axis=1)
+        c_sel = jnp.argmin(c_d2, axis=1)
+        c_ok = c_min < cfg.dist_sq_threshold
+
+        # everything else selects from ONE K-candidate pass. Exact masked
+        # top_k over the (N, M) row costs ~4 ms/call on TPU (sort-based);
+        # the measured fused-loop cost of three of them was 13 ms/scan —
+        # 67% of the batched frame. approx_min_k is the TPU-native binned
+        # reduction (recall ~0.95 at K=16; a missed candidate only narrows
+        # a plane support by one point).
+        cand_d2, cand_idx = jax.lax.approx_min_k(d2, K)          # (N, K)
     ring_cand = ref.ring[cand_idx]
     cand_ok = cand_d2 < cfg.dist_sq_threshold
     is_a = cand_idx == a_sel[:, None]

@@ -34,7 +34,7 @@ def courtyard_lap():
                      [40.0, 14.0], [40.0, 4.0], [46.0, 4.0]])
 
 
-def build_nsh_bag(out_path: str, frames: int = 210, rings: int = 16,
+def build_nsh_bag(out_path: str, frames: int = 230, rings: int = 16,
                   pts_per_ring: int = 900, speed: float = 1.8,
                   imu_rate: float = 400.0, scan_dt: float = 0.1,
                   seed: int = 0, compression: str = "bz2") -> dict:
@@ -125,7 +125,7 @@ def validate_bag(bag_path: str, max_scans: int = 3) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out")
-    ap.add_argument("--frames", type=int, default=210)
+    ap.add_argument("--frames", type=int, default=230)
     ap.add_argument("--validate", action="store_true")
     args = ap.parse_args(argv)
     import json

@@ -1,0 +1,85 @@
+"""Verify the compiled odo_corr Pallas kernel on REAL TPU against the XLA
+reductions (Mosaic verification — interpret mode is not sufficient).
+
+Run (real TPU):  python scripts/verify_odo_corr_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from msf_loam_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from msf_loam_tpu.config import FeatureConfig
+    from msf_loam_tpu.dataio import preprocess, synthetic
+    from msf_loam_tpu.ops import features
+    from msf_loam_tpu.ops.odo_corr import odo_corr_pallas
+    from msf_loam_tpu.slam import odometry
+
+    print(f"platform: {jax.devices()[0].platform}")
+    fcfg = FeatureConfig(max_points_per_ring=2048)
+    world = synthetic.World.corridor(seed=0, size=12.0)
+    fails = 0
+    for n_rings in (16, 64):
+        def scan(t, seed):
+            xyz, ring = synthetic.simulate_scan(
+                world, np.asarray(t, float), np.eye(3), n_rings=n_rings,
+                pts_per_ring=1800, noise=0.004, seed=seed)
+            img = preprocess.preprocess_scan(xyz, ring, fcfg,
+                                             num_rings=n_rings)
+            return features.extract_features(img, jnp.float32(0.0), fcfg)
+
+        prev = scan([0, 0, 0], 0)
+        curr = scan([0.25, 0.05, 0], 1)
+        for qname, q, ref, K in (
+                ("surf", curr.surf_flat, prev.surf_less_flat, 16),
+                ("edge", curr.corner_sharp, prev.corner_less_sharp, 0)):
+            oc = odo_corr_pallas(q.xyz, ref.masked_xyz(), ref.mask,
+                                 ref.ring, K=K, nearby=2.5)
+            d2 = np.asarray(odometry._corr_d2(
+                q.xyz, jnp.ones(q.xyz.shape[0], bool), ref))
+            a_sel = d2.argmin(1)
+            got_a = np.asarray(oc.a_idx)
+            # tolerate tie flips where the two d2 formulations round
+            # differently, but values must agree
+            d2_at_got = d2[np.arange(len(a_sel)), np.minimum(got_a,
+                                                             d2.shape[1] - 1)]
+            ok_a = np.allclose(d2_at_got, d2.min(1), atol=2e-3, rtol=1e-3)
+            tag = f"rings={n_rings} {qname}"
+            if not ok_a:
+                print(f"FAIL {tag} a: value mismatch")
+                fails += 1
+                continue
+            exact = float((got_a == a_sel).mean())
+            print(f"PASS {tag} a (exact-idx {exact:.4f})")
+            ring = np.asarray(ref.ring)
+            dr = np.abs(ring[None, :]
+                        - ring[np.minimum(got_a, len(ring) - 1)][:, None])
+            c_d2 = np.where((dr > 0) & (dr <= 2.5), d2, np.inf)
+            have = np.isfinite(c_d2.min(1))
+            got_c = np.asarray(oc.c_idx)[have]
+            want_val = c_d2.min(1)[have]
+            got_val = c_d2[have, np.minimum(got_c, d2.shape[1] - 1)]
+            if not np.allclose(got_val, want_val, atol=2e-3, rtol=1e-3):
+                print(f"FAIL {tag} c: value mismatch")
+                fails += 1
+            else:
+                print(f"PASS {tag} c ({int(have.sum())} rows)")
+    if fails:
+        print(f"FAILED ({fails})")
+        return 1
+    print("ALL PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

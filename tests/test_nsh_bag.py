@@ -14,7 +14,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-FRAMES = 210
+FRAMES = 230
 _BAG = os.path.join(REPO, ".cache", f"nsh_fixture_v1_{FRAMES}.bag")
 
 
