@@ -55,14 +55,16 @@ def _round(score, suppressed, sector_i, cb0_i, w_iota, *, S, T, nsup, W):
                          axis=1, keepdims=True)
             fi.append(idx)
             fv.append(m)
-            fok.append(m > -_BIG * 0.5)
+            # i1 concatenation is an invalid vreg cast in Mosaic — carry
+            # validity as f32 0/1 and re-threshold after the concat
+            fok.append(jnp.where(m > -_BIG * 0.5, 1.0, 0.0))
             fcb.append(cb)
             avail = jnp.where(w_iota == idx, -_BIG, avail)
     ST = S * T
     # column p = s*T + t — the (R, S, T) flattening of the XLA path
     FI = jnp.concatenate(fi, axis=1)                              # (Rb, ST)
     FV = jnp.concatenate(fv, axis=1)
-    FOK = jnp.concatenate(fok, axis=1)
+    FOK = jnp.concatenate(fok, axis=1) > 0.5
     FCB = jnp.concatenate(fcb, axis=1)
     dom = jnp.zeros_like(FOK)
     for q in range(ST):

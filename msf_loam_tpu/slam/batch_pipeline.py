@@ -155,6 +155,16 @@ def _fused_insert(vmap_state: VoxelHashMap, H: int, xyz: Array,
                            slots + seq_id * H, leaf_salt=seq_id)
 
 
+def _fused_evict_far(vmap_state: VoxelHashMap, H: int, centers: Array,
+                     radius: float) -> VoxelHashMap:
+    """Per-lane far-point eviction over the fused table: slot b*H+h evicts
+    around lane b's current pose (the batched analog of
+    SlamPipeline._maybe_evict — without it per-lane 4096-slot tables fill
+    monotonically on long scenes and collisions degrade kNN; ADVICE r3)."""
+    per_slot = jnp.repeat(centers, H, axis=0)            # (B*H, 3)
+    return voxel_map.evict_far(vmap_state, per_slot, radius)
+
+
 def _fused_gather_candidates(vmap_state: VoxelHashMap, H: int, query: Array,
                              query_mask: Array) -> Tuple[Array, Array]:
     """Octant gather over the fused table, selection deferred (the batched
@@ -356,6 +366,19 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
         s_mask = s_mask & ~is_first
     corner_map = _fused_insert(state.corner_map, H, cw, c_mask)
     surf_map = _fused_insert(state.surf_map, H, sw, s_mask)
+
+    if mc.map_evict_period > 0:
+        # same cadence as SlamPipeline._maybe_evict; lax.cond so the
+        # H*P sort only runs on eviction frames
+        do_evict = (state.frame_idx + 1) % mc.map_evict_period == 0
+        corner_map, surf_map = jax.lax.cond(
+            do_evict,
+            lambda ms: (_fused_evict_far(ms[0], H, pose_map.t,
+                                         mc.map_evict_radius),
+                        _fused_evict_far(ms[1], H, pose_map.t,
+                                         mc.map_evict_radius)),
+            lambda ms: ms,
+            (corner_map, surf_map))
 
     new_state = BatchState(
         corner_map=corner_map, surf_map=surf_map,

@@ -200,7 +200,10 @@ def evict_far(vmap: VoxelHashMap, center: Array, radius: float = 100.0
     """
     H, P = vmap.table_size, vmap.slab_capacity
     occup = jnp.arange(P)[None, :] < vmap.count[:, None]         # (H, P)
-    d2 = jnp.sum((vmap.points - center[None, None, :]) ** 2, axis=-1)
+    # center: (3,) single anchor, or (H, 3) per-slot anchors (the fused
+    # multi-sequence table evicts each lane around ITS trajectory)
+    c = center[None, None, :] if center.ndim == 1 else center[:, None, :]
+    d2 = jnp.sum((vmap.points - c) ** 2, axis=-1)
     keep = occup & (d2 <= radius * radius)
     order = jnp.argsort(~keep, axis=1, stable=True)              # kept first
     new_points = jnp.take_along_axis(vmap.points, order[..., None], axis=1)

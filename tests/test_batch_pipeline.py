@@ -126,3 +126,53 @@ def test_batch_matches_single_pipeline_roughly():
         pipe.process_scan(feats)
     seq_final = np.asarray(pipe.pose_map.t)
     np.testing.assert_allclose(batched_final, seq_final, atol=0.02)
+
+
+def test_batch_serving_config_long_trajectory_with_eviction():
+    """ADVICE r3 #4: the 'batched beats single-stream' serving claim runs
+    4096-slot per-lane tables; on longer scenes those fill and collisions
+    degrade kNN unless the batched pipeline evicts like the dense one
+    does. Drive a 9 m trajectory (3x the short toy checks) at the serving
+    table size with an 8 m eviction horizon and assert per-lane tracking
+    holds AND table occupancy stays bounded. (A/B measured: no eviction
+    0.016/0.019 ATE @13355 pts; 6 m horizon evicts live geometry
+    0.082/0.146; 8 m holds 0.046/0.050 @5433 pts.)"""
+    import dataclasses
+
+    T, B = 30, 2
+    cfg = dataclasses.replace(
+        CFG, mapping=dataclasses.replace(
+            CFG.mapping, map_table_size=1 << 12, map_cell_capacity=32,
+            map_evict_period=8, map_evict_radius=8.0))
+    imgs, gts = [], []
+    for b in range(B):
+        world = synthetic.World.corridor(seed=b, size=12.0)
+        step = np.array([0.3, 0.03 * (b + 1), 0.0])
+        seq_imgs, seq_gt = [], []
+        for i in range(T):
+            t = step * i
+            xyz, ring = synthetic.simulate_scan(world, t, np.eye(3),
+                                                n_rings=16, pts_per_ring=900,
+                                                noise=0.004, seed=10 * b + i)
+            seq_imgs.append(preprocess.preprocess_scan(xyz, ring, FCFG,
+                                                       num_rings=16))
+            seq_gt.append(t)
+        imgs.append(seq_imgs)
+        gts.append(seq_gt)
+    stack = lambda f: jnp.stack(
+        [jnp.stack([f(imgs[b][t]) for b in range(B)]) for t in range(T)])
+    ring_images = RingImage(xyz=stack(lambda im: im.xyz),
+                            rel_time=stack(lambda im: im.rel_time),
+                            mask=stack(lambda im: im.mask))
+    state = batch_pipeline.init_batch_state(cfg, B, n_rings=16)
+    state, poses = batch_pipeline.run_batch(cfg, state, ring_images)
+    est = np.asarray(poses.t)
+    for b in range(B):
+        err = ate_rmse(est[:, b], np.asarray(gts[b]), align=False)
+        assert err < 0.10, f"seq {b}: ATE {err:.3f}"
+    # eviction bounded the tables: the horizon on a 9 m run must have
+    # dropped the tail (no-eviction occupancy measured ~13.4k points)
+    from msf_loam_tpu.slam import voxel_map as vm
+    total = int(state.surf_map.total_points())
+    H = cfg.mapping.map_table_size * B
+    assert total < 9000, total
