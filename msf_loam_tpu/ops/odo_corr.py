@@ -24,6 +24,14 @@ it in one pass:
 HBM traffic: queries in, (Nb, 1+1+K) selections out. The b-pick, plane
 fits and residual gates stay XLA over the tiny (N, K) pool.
 
+Precision: the kernel also FIXES a TPU-specific accuracy deficiency of
+the XLA path — on TPU the matmul in _corr_d2's |q|^2+|r|^2-2 q.r
+expansion runs in bf16 by default, injecting ~+-0.25 m^2 of distance
+error at corridor ranges — enough to flip ~75% of nearest-neighbor
+picks between near-equidistant surface candidates on real scans
+(measured while verifying this kernel). The kernel's
+direct (dx^2+dy^2+dz^2) form is exact f32.
+
 tests/test_odo_corr.py pins the kernel (interpreter mode) against the
 XLA reductions; scripts/verify_pick_rounds_tpu.py-style device check in
 scripts/verify_odo_corr_tpu.py.
@@ -44,49 +52,67 @@ Array = jax.Array
 _INF = 3.0e38
 
 
-def _min_argmin(d2, m_iota, M):
-    """(min, first-argmin) along lanes of a (Nb, M) tile."""
-    v = jnp.min(d2, axis=1, keepdims=True)
-    idx = jnp.min(jnp.where(d2 <= v, m_iota, M), axis=1, keepdims=True)
-    return v, idx
-
-
 def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
                      a_ref, c_ref, cand_ref, *,
-                     K: int, nearby: float, M: int):
+                     K: int, nearby: float, M: int, NCH: int):
+    """Chunked over M so VMEM temporaries stay (Nb, M/NCH) — a full
+    (256, 8192) f32 tile chain blows the ~16 MB VMEM budget (the first
+    draft SIGABRT'd the Mosaic compiler). Each chunk is re-derived per
+    phase (distances are cheap; bytes are not), and with NCH == K each
+    chunk IS one candidate bin."""
     Nb = q_ref.shape[0]
-    m_iota = jax.lax.broadcasted_iota(jnp.int32, (Nb, M), 1)
+    B = M // NCH
     qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
-    dx = rx_ref[:] - qx                       # (Nb, M) via (1,M)-(Nb,1)
-    dy = ry_ref[:] - qy
-    dz = rz_ref[:] - qz
-    d2 = dx * dx + dy * dy + dz * dz
-    ring = rring_ref[:]                       # (1, M) f32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Nb, B), 1)
 
-    a_d2, a_idx = _min_argmin(d2, m_iota, M)
-    ring_a = jnp.min(jnp.where(m_iota == a_idx, ring, _INF), axis=1,
-                     keepdims=True)           # (Nb, 1)
+    def chunk_d2(ch):
+        dx = rx_ref[0:1, ch * B:(ch + 1) * B] - qx       # (Nb, B)
+        dy = ry_ref[0:1, ch * B:(ch + 1) * B] - qy
+        dz = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
+        return dx * dx + dy * dy + dz * dz
 
-    dr = jnp.abs(ring - ring_a)               # (Nb, M)
-    in_window = (dr > 0.0) & (dr <= nearby)
-    c_all = jnp.where(in_window, d2, _INF)
-    c_d2, c_idx = _min_argmin(c_all, m_iota, M)
+    def local_min(d2c, ch):
+        v = jnp.min(d2c, axis=1, keepdims=True)
+        li = jnp.min(jnp.where(d2c <= v, iota, B), axis=1, keepdims=True)
+        return v, li + ch * B
+
+    # phase A: global nearest (+ per-bin candidates when NCH == K)
+    a_d2 = jnp.full((Nb, 1), _INF, jnp.float32)
+    a_idx = jnp.full((Nb, 1), M, jnp.int32)
+    for ch in range(NCH):
+        v, gi = local_min(chunk_d2(ch), ch)
+        if K:
+            cand_ref[:, ch:ch + 1] = v
+            cand_ref[:, K + ch:K + ch + 1] = gi.astype(jnp.float32)
+        # strict < keeps the earlier chunk on ties == global first-argmin
+        upd = v < a_d2
+        a_d2 = jnp.where(upd, v, a_d2)
+        a_idx = jnp.where(upd, gi, a_idx)
+
+    # phase B: ring of the nearest (lane-select reduction per chunk)
+    ring_a = jnp.full((Nb, 1), _INF, jnp.float32)
+    for ch in range(NCH):
+        sel = (iota + ch * B) == a_idx
+        r = jnp.min(jnp.where(sel, rring_ref[0:1, ch * B:(ch + 1) * B],
+                              _INF), axis=1, keepdims=True)
+        ring_a = jnp.minimum(ring_a, r)
+
+    # phase C: nearest on a different nearby ring
+    c_d2 = jnp.full((Nb, 1), _INF, jnp.float32)
+    c_idx = jnp.full((Nb, 1), M, jnp.int32)
+    for ch in range(NCH):
+        ring_c = rring_ref[0:1, ch * B:(ch + 1) * B]
+        dr = jnp.abs(ring_c - ring_a)
+        d2w = jnp.where((dr > 0.0) & (dr <= nearby), chunk_d2(ch), _INF)
+        v, gi = local_min(d2w, ch)
+        upd = v < c_d2
+        c_d2 = jnp.where(upd, v, c_d2)
+        c_idx = jnp.where(upd, gi, c_idx)
 
     a_ref[:, 0:1] = a_d2
     a_ref[:, 1:2] = a_idx.astype(jnp.float32)
     c_ref[:, 0:1] = c_d2
     c_ref[:, 1:2] = c_idx.astype(jnp.float32)
-
-    if K:
-        B = M // K
-        for k in range(K):
-            chunk = d2[:, k * B:(k + 1) * B]
-            ci = m_iota[:, k * B:(k + 1) * B]
-            v = jnp.min(chunk, axis=1, keepdims=True)
-            idx = jnp.min(jnp.where(chunk <= v, ci, M), axis=1,
-                          keepdims=True)
-            cand_ref[:, k:k + 1] = v
-            cand_ref[:, K + k:K + k + 1] = idx.astype(jnp.float32)
 
 
 class OdoCorr(NamedTuple):
@@ -133,7 +159,8 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
 
     kc = max(K, 1)
     a, c, cand = pl.pallas_call(
-        functools.partial(_odo_corr_kernel, K=K, nearby=nearby, M=M),
+        functools.partial(_odo_corr_kernel, K=K, nearby=nearby, M=M,
+                          NCH=K if K else 16),
         grid=(npad // nb,),
         in_specs=[
             pl.BlockSpec((nb, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),

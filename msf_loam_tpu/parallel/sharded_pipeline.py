@@ -54,7 +54,9 @@ def _map_hooks(mesh: Mesh, cfg: MsfLoamConfig):
     def insert_fn(m, xyz, mask):
         return sharded_map.sharded_insert(mesh, m, xyz, mask)
 
-    if not cfg.mapping.plane_fallback:
+    import os
+    if not cfg.mapping.plane_fallback or \
+            os.environ.get("MSF_SHARDED_PAIR", "1") == "0":
         query_pair_fn = None
     return query_fn, query2_fn, query_pair_fn, insert_fn
 

@@ -23,7 +23,6 @@ def main():
     from msf_loam_tpu.dataio import preprocess, synthetic
     from msf_loam_tpu.ops import features
     from msf_loam_tpu.ops.odo_corr import odo_corr_pallas
-    from msf_loam_tpu.slam import odometry
 
     print(f"platform: {jax.devices()[0].platform}")
     fcfg = FeatureConfig(max_points_per_ring=2048)
@@ -45,8 +44,15 @@ def main():
                 ("edge", curr.corner_sharp, prev.corner_less_sharp, 0)):
             oc = odo_corr_pallas(q.xyz, ref.masked_xyz(), ref.mask,
                                  ref.ring, K=K, nearby=2.5)
-            d2 = np.asarray(odometry._corr_d2(
-                q.xyz, jnp.ones(q.xyz.shape[0], bool), ref))
+            # ground truth in HOST fp32: the on-device XLA _corr_d2 runs
+            # its q@r^T in bf16 by default (+-0.25 m^2 error at corridor
+            # ranges) and its argmin is NOT a valid reference — the first
+            # version of this script compared against it and reported the
+            # exact kernel as "mismatched"
+            qx = np.asarray(q.xyz)
+            rxm = np.where(np.asarray(ref.mask)[:, None],
+                           np.asarray(ref.masked_xyz()), 1e9)
+            d2 = ((qx[:, None, :] - rxm[None, :, :]) ** 2).sum(-1)
             a_sel = d2.argmin(1)
             got_a = np.asarray(oc.a_idx)
             # tolerate tie flips where the two d2 formulations round
@@ -61,7 +67,8 @@ def main():
                 continue
             exact = float((got_a == a_sel).mean())
             print(f"PASS {tag} a (exact-idx {exact:.4f})")
-            ring = np.asarray(ref.ring)
+            ring = np.where(np.asarray(ref.mask), np.asarray(ref.ring),
+                            10 ** 6)
             dr = np.abs(ring[None, :]
                         - ring[np.minimum(got_a, len(ring) - 1)][:, None])
             c_d2 = np.where((dr > 0) & (dr <= 2.5), d2, np.inf)
