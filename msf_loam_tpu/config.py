@@ -173,6 +173,10 @@ class ImuConfig:
     gyr_n: float = 0.0033
     gyr_w: float = 0.0012
     update_rate: float = 400.0
+    # preintegration lowering: "assoc" = log-depth associative scans
+    # (~3.5 ms/frame faster in the fused LIO frame at 40-sample windows);
+    # "scan" = the literal per-sample lax.scan (reference-shaped)
+    preint_mode: str = "assoc"
     gravity: Tuple[float, float, float] = (0.0, 0.0, 9.81)
     warmup_msgs: int = 100             # lidar gate until >100 imu msgs (msf_loam_node.cc:384)
     init_frames: int = 50              # kInitByFirstScanNums (estimator.h:57)

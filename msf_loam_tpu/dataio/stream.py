@@ -177,13 +177,19 @@ class StreamServer:
         finally:
             self._q.put(None)
 
-    def messages(self) -> Iterator[Tuple[Msg, bool]]:
+    def messages(self, wait_eof: bool = False) -> Iterator[Tuple[Msg, bool]]:
         """Accept the producer and yield (msg, dropped). A scan is dropped
         (yielded with dropped=True, so the caller can count it) when the
-        backlog already holds a newer scan — process only the freshest."""
+        backlog already holds a newer scan — process only the freshest.
+
+        ``wait_eof`` blocks until the producer finishes before yielding —
+        a deterministic maximum-backlog drain (tests use it to pin the
+        shedding policy without racing the reader thread)."""
         self._conn, _ = self.listener.accept()
         self._thread = threading.Thread(target=self._reader, daemon=True)
         self._thread.start()
+        if wait_eof:
+            self._thread.join()
         pending: list = []
         done = False
         while not done or pending:

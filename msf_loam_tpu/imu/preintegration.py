@@ -62,6 +62,56 @@ def _noise_matrix(cfg: ImuConfig) -> Array:
     return n.at[jnp.arange(18), jnp.arange(18)].set(diag)
 
 
+def _fv_blocks(dt: Array, acc0: Array, gyr0: Array, acc1: Array, gyr1: Array,
+               q0: Array, q1: Array, ba: Array, bg: Array
+               ) -> Tuple[Array, Array]:
+    """The eq22 F (15x15) / V (15x18) blocks for one midpoint interval,
+    given the pre/post orientations (shared by the sequential scan and the
+    batched associative path)."""
+    un_gyr = 0.5 * (gyr0 + gyr1) - bg
+    R0 = quat_to_matrix(q0)
+    R1 = quat_to_matrix(q1)
+    w_x = skew(un_gyr)
+    a0_x = skew(acc0 - ba)
+    a1_x = skew(acc1 - ba)
+    I3 = jnp.eye(3, dtype=q0.dtype)
+
+    R1a1 = R1 @ a1_x
+    Iw = I3 - w_x * dt
+
+    F = jnp.zeros((15, 15), q0.dtype)
+    F = F.at[0:3, 0:3].set(I3)
+    F = F.at[0:3, 3:6].set(-0.25 * (R0 @ a0_x) * dt * dt - 0.25 * R1a1 @ Iw * dt * dt)
+    F = F.at[0:3, 6:9].set(I3 * dt)
+    F = F.at[0:3, 9:12].set(-0.25 * (R0 + R1) * dt * dt)
+    F = F.at[0:3, 12:15].set(0.25 * R1a1 * dt * dt * dt)
+    F = F.at[3:6, 3:6].set(Iw)
+    F = F.at[3:6, 12:15].set(-I3 * dt)
+    F = F.at[6:9, 3:6].set(-0.5 * (R0 @ a0_x) * dt - 0.5 * R1a1 @ Iw * dt)
+    F = F.at[6:9, 6:9].set(I3)
+    F = F.at[6:9, 9:12].set(-0.5 * (R0 + R1) * dt)
+    F = F.at[6:9, 12:15].set(0.5 * R1a1 * dt * dt)
+    F = F.at[9:12, 9:12].set(I3)
+    F = F.at[12:15, 12:15].set(I3)
+
+    V = jnp.zeros((15, 18), q0.dtype)
+    V = V.at[0:3, 0:3].set(0.25 * R0 * dt * dt)
+    v03 = -0.125 * R1a1 * dt * dt * dt
+    V = V.at[0:3, 3:6].set(v03)
+    V = V.at[0:3, 6:9].set(0.25 * R1 * dt * dt)
+    V = V.at[0:3, 9:12].set(v03)
+    V = V.at[3:6, 3:6].set(0.5 * I3 * dt)
+    V = V.at[3:6, 9:12].set(0.5 * I3 * dt)
+    V = V.at[6:9, 0:3].set(0.5 * R0 * dt)
+    v63 = -0.25 * R1a1 * dt * dt
+    V = V.at[6:9, 3:6].set(v63)
+    V = V.at[6:9, 6:9].set(0.5 * R1 * dt)
+    V = V.at[6:9, 9:12].set(v63)
+    V = V.at[9:12, 12:15].set(I3 * dt)
+    V = V.at[12:15, 15:18].set(I3 * dt)
+    return F, V
+
+
 def midpoint_step(dt: Array, acc0: Array, gyr0: Array, acc1: Array, gyr1: Array,
                   delta_p: Array, delta_q: Array, delta_v: Array,
                   ba: Array, bg: Array,
@@ -81,48 +131,7 @@ def midpoint_step(dt: Array, acc0: Array, gyr0: Array, acc1: Array, gyr1: Array,
     result_p = delta_p + delta_v * dt + 0.5 * un_acc * dt * dt   # eq7.2
     result_v = delta_v + un_acc * dt                             # eq7.3
 
-    # eq22 — F/V blocks
-    R0 = quat_to_matrix(delta_q)
-    R1 = quat_to_matrix(result_q)
-    w_x = skew(un_gyr)
-    a0_x = skew(acc0 - ba)
-    a1_x = skew(acc1 - ba)
-    I3 = jnp.eye(3, dtype=delta_p.dtype)
-
-    R1a1 = R1 @ a1_x
-    Iw = I3 - w_x * dt
-
-    F = jnp.zeros((15, 15), delta_p.dtype)
-    F = F.at[0:3, 0:3].set(I3)
-    F = F.at[0:3, 3:6].set(-0.25 * (R0 @ a0_x) * dt * dt - 0.25 * R1a1 @ Iw * dt * dt)
-    F = F.at[0:3, 6:9].set(I3 * dt)
-    F = F.at[0:3, 9:12].set(-0.25 * (R0 + R1) * dt * dt)
-    F = F.at[0:3, 12:15].set(0.25 * R1a1 * dt * dt * dt)
-    F = F.at[3:6, 3:6].set(Iw)
-    F = F.at[3:6, 12:15].set(-I3 * dt)
-    F = F.at[6:9, 3:6].set(-0.5 * (R0 @ a0_x) * dt - 0.5 * R1a1 @ Iw * dt)
-    F = F.at[6:9, 6:9].set(I3)
-    F = F.at[6:9, 9:12].set(-0.5 * (R0 + R1) * dt)
-    F = F.at[6:9, 12:15].set(0.5 * R1a1 * dt * dt)
-    F = F.at[9:12, 9:12].set(I3)
-    F = F.at[12:15, 12:15].set(I3)
-
-    V = jnp.zeros((15, 18), delta_p.dtype)
-    V = V.at[0:3, 0:3].set(0.25 * R0 * dt * dt)
-    v03 = -0.125 * R1a1 * dt * dt * dt
-    V = V.at[0:3, 3:6].set(v03)
-    V = V.at[0:3, 6:9].set(0.25 * R1 * dt * dt)
-    V = V.at[0:3, 9:12].set(v03)
-    V = V.at[3:6, 3:6].set(0.5 * I3 * dt)
-    V = V.at[3:6, 9:12].set(0.5 * I3 * dt)
-    V = V.at[6:9, 0:3].set(0.5 * R0 * dt)
-    v63 = -0.25 * R1a1 * dt * dt
-    V = V.at[6:9, 3:6].set(v63)
-    V = V.at[6:9, 6:9].set(0.5 * R1 * dt)
-    V = V.at[6:9, 9:12].set(v63)
-    V = V.at[9:12, 12:15].set(I3 * dt)
-    V = V.at[12:15, 15:18].set(I3 * dt)
-
+    F, V = _fv_blocks(dt, acc0, gyr0, acc1, gyr1, delta_q, result_q, ba, bg)
     new_jac = F @ jacobian                                        # eq19
     new_cov = F @ covariance @ F.T + V @ noise @ V.T              # eq18
     return result_p, result_q, result_v, new_jac, new_cov
@@ -143,7 +152,18 @@ def preintegrate(dts: Array, accs: Array, gyrs: Array, valid: Array,
     The first valid sample's (acc, gyr) also serve as the window's initial
     (acc0, gyr0), mirroring the IntegrationBase constructor seeding
     (estimator.cc:133).
+
+    ``cfg.preint_mode`` picks the execution strategy: "assoc" (default)
+    lowers the recurrences to log-depth associative scans (see
+    ``preintegrate_assoc`` — a 40-sample window costs 6 sequential levels
+    of batched math instead of 40 tiny sequential steps; measured ~3.5 ms
+    of the 9.7 ms fused LIO frame was this scan); "scan" keeps the
+    literal per-sample lax.scan (the reference-shaped implementation).
+    Both produce the same Preintegration up to fp reassociation
+    (test_imu::test_assoc_matches_scan).
     """
+    if cfg.preint_mode == "assoc":
+        return preintegrate_assoc(dts, accs, gyrs, valid, ba, bg, cfg)
     S = dts.shape[0]
     noise = _noise_matrix(cfg)
     acc_init = accs[0]
@@ -181,6 +201,86 @@ def preintegrate(dts: Array, accs: Array, gyrs: Array, valid: Array,
         sum_dt=sdt, linearized_ba=ba, linearized_bg=bg,
         sum_dt_buf=sum_dt_buf, delta_p_buf=delta_p_buf,
         delta_q_buf=delta_q_buf, delta_v_buf=delta_v_buf,
+        n_samples=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+def preintegrate_assoc(dts: Array, accs: Array, gyrs: Array, valid: Array,
+                       ba: Array, bg: Array, cfg: ImuConfig) -> Preintegration:
+    """``preintegrate`` lowered to log-depth associative scans.
+
+    The midpoint recurrences factor exactly:
+      * delta_q: each interval's dq is state-independent, so the prefix is
+        an associative quaternion product (normalize distributes over the
+        product — same direction as step-wise normalization);
+      * delta_v / delta_p: once all prefix orientations are known the
+        midpoint accelerations batch into one rotate, and v/p are
+        (exclusive-)cumsums;
+      * jacobian / covariance: J_N = F_{N-1}..F_0 and
+        C_{k+1} = F C F^T + W compose associatively as affine maps on
+        covariance: (F2,W2)o(F1,W1) = (F2 F1, F2 W1 F2^T + W2) — ONE
+        associative scan yields both (its final F IS the jacobian).
+
+    Padding/holes are exact no-ops (dq=identity, F=I, W=0, zero
+    increments), and each interval's start sample is the previous VALID
+    sample (the lax.scan carries it; here a cummax index recovers it).
+    """
+    S = dts.shape[0]
+    noise = _noise_matrix(cfg)
+    ok = valid & (dts > 0)
+    dt = jnp.where(ok, dts, 0.0)
+
+    # start-of-interval samples: previous valid index (or sample 0)
+    iota = jnp.arange(S)
+    prev = jax.lax.cummax(jnp.where(ok, iota, -1))
+    prev = jnp.concatenate([jnp.array([-1]), prev[:-1]])
+    idx0 = jnp.maximum(prev, 0)
+    acc0 = accs[idx0]
+    gyr0 = gyrs[idx0]
+
+    un_gyr = 0.5 * (gyr0 + gyrs) - bg                        # (S, 3)
+    dqs = jnp.concatenate([jnp.ones((S, 1)), un_gyr * dt[:, None] / 2.0],
+                          axis=1)
+    dqs = jnp.where(ok[:, None], dqs,
+                    jnp.array([[1.0, 0, 0, 0]], dqs.dtype))
+    q_pref = jax.lax.associative_scan(jax.vmap(quat_multiply), dqs)
+    q_all = quat_normalize(q_pref)                           # q_{k+1}
+    q_prev = jnp.concatenate([jnp.array([[1.0, 0, 0, 0]], q_all.dtype),
+                              q_all[:-1]])                   # q_k
+
+    un_acc0 = quat_rotate(q_prev, acc0 - ba)
+    un_acc1 = quat_rotate(q_all, accs - ba)
+    un_acc = jnp.where(ok[:, None], 0.5 * (un_acc0 + un_acc1), 0.0)
+    dv = un_acc * dt[:, None]
+    v_all = jnp.cumsum(dv, axis=0)                           # v_{k+1}
+    v_prev = jnp.concatenate([jnp.zeros((1, 3), v_all.dtype), v_all[:-1]])
+    dp = v_prev * dt[:, None] + 0.5 * un_acc * dt[:, None] ** 2
+    p_all = jnp.cumsum(dp, axis=0)
+    sdt_buf = jnp.cumsum(dt)
+
+    F, V = jax.vmap(_fv_blocks, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        dt, acc0, gyr0, accs, gyrs, q_prev, q_all, ba, bg)
+    I15 = jnp.eye(15, dtype=F.dtype)
+    F = jnp.where(ok[:, None, None], F, I15)
+    W = jnp.einsum("sij,jk,slk->sil", V, noise, V)
+    W = jnp.where(ok[:, None, None], W, 0.0)
+
+    def comb(a, b):
+        Fa, Wa = a
+        Fb, Wb = b
+        return (jnp.einsum("sij,sjk->sik", Fb, Fa),
+                jnp.einsum("sij,sjk,slk->sil", Fb, Wa, Fb) + Wb)
+
+    Fp, Wp = jax.lax.associative_scan(comb, (F, W))
+
+    return Preintegration(
+        delta_p=p_all[-1], delta_q=q_all[-1], delta_v=v_all[-1],
+        jacobian=Fp[-1], covariance=Wp[-1], sum_dt=sdt_buf[-1],
+        linearized_ba=ba, linearized_bg=bg,
+        sum_dt_buf=jnp.concatenate([jnp.zeros((1,)), sdt_buf]),
+        delta_p_buf=jnp.concatenate([jnp.zeros((1, 3)), p_all]),
+        delta_q_buf=jnp.concatenate([jnp.array([[1.0, 0, 0, 0]]), q_all]),
+        delta_v_buf=jnp.concatenate([jnp.zeros((1, 3)), v_all]),
         n_samples=jnp.sum(valid.astype(jnp.int32)),
     )
 

@@ -299,3 +299,49 @@ def test_imu_factor_full_matches_presolve_blocks():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(J_red[:, 6:9], np.asarray(J_full[:, 21:24]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_assoc_matches_scan():
+    """The associative-scan preintegration must match the sequential
+    lax.scan path to fp tolerance on every field, including padded and
+    holed windows."""
+    import dataclasses
+
+    import numpy as np
+
+    from msf_loam_tpu.config import ImuConfig
+    from msf_loam_tpu.imu import preintegration as P
+
+    rng = np.random.default_rng(0)
+    cfg_s = ImuConfig(preint_mode="scan")
+    cfg_a = ImuConfig(preint_mode="assoc")
+    for S, n_valid, hole in ((40, 40, None), (64, 37, None), (32, 28, 11)):
+        dts = np.full(S, 0.0025, np.float32)
+        accs = (np.array([0.0, 0, 9.81]) + rng.normal(0, 0.4, (S, 3))
+                ).astype(np.float32)
+        gyrs = rng.normal(0, 0.3, (S, 3)).astype(np.float32)
+        valid = np.arange(S) < n_valid
+        if hole is not None:
+            valid = valid.copy()
+            valid[hole] = False
+        dts = np.where(valid, dts, 0.0).astype(np.float32)
+        ba = np.array([0.01, -0.02, 0.005], np.float32)
+        bg = np.array([0.002, 0.001, -0.003], np.float32)
+        a = P.preintegrate(jnp.asarray(dts), jnp.asarray(accs),
+                           jnp.asarray(gyrs), jnp.asarray(valid),
+                           jnp.asarray(ba), jnp.asarray(bg), cfg_a)
+        s = P.preintegrate(jnp.asarray(dts), jnp.asarray(accs),
+                           jnp.asarray(gyrs), jnp.asarray(valid),
+                           jnp.asarray(ba), jnp.asarray(bg), cfg_s)
+        np.testing.assert_allclose(a.delta_p, s.delta_p, atol=1e-5)
+        np.testing.assert_allclose(a.delta_q, s.delta_q, atol=1e-6)
+        np.testing.assert_allclose(a.delta_v, s.delta_v, atol=1e-5)
+        np.testing.assert_allclose(a.jacobian, s.jacobian,
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(a.covariance, s.covariance,
+                                   rtol=2e-3, atol=1e-11)
+        np.testing.assert_allclose(a.sum_dt, s.sum_dt, atol=1e-6)
+        np.testing.assert_allclose(a.delta_p_buf, s.delta_p_buf, atol=1e-5)
+        np.testing.assert_allclose(a.delta_q_buf, s.delta_q_buf, atol=1e-6)
+        np.testing.assert_allclose(a.delta_v_buf, s.delta_v_buf, atol=1e-5)
+        assert int(a.n_samples) == int(s.n_samples)

@@ -70,14 +70,15 @@ def test_stream_sheds_stale_scans():
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    t.join(timeout=10)  # everything queues before the consumer reads
-    out = list(server.messages())
+    # wait_eof: deterministic maximum-backlog drain (no reader-thread race)
+    out = list(server.messages(wait_eof=True))
     server.close()
+    t.join(timeout=10)
     assert len(out) == 8
     dropped = [m.time for m, d in out if d]
     kept = [m.time for m, d in out if not d]
-    assert len(dropped) >= 6              # a burst keeps ~1 per drain
-    assert max(kept) == max(m.time for m, _ in out)  # freshest survives
+    assert len(dropped) == 7              # whole backlog sheds but one
+    assert kept == [max(m.time for m, _ in out)]  # the freshest survives
 
 
 def test_stream_producer_consumer_e2e(tmp_path):
