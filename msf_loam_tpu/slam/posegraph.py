@@ -129,6 +129,21 @@ def _gps_residual(delta_i: Array, delta_j: Array, pose_i: Pose, pose_j: Pose,
     return (t - gps) / st
 
 
+def _f32_matmuls(fn):
+    """Trace-time f32 matmul precision for the solver math.
+
+    On TPU, jax matmuls/einsums default to bf16 inputs; the pose-graph
+    normal equations and the block-Thomas / Woodbury chains are far too
+    ill-conditioned for that — measured on device: the loop-closure solve
+    that converges to 0.024 m ATE on CPU diverged to 3.5e6 m on TPU until
+    this pin (r4, scripts/golden_eval.py --only loop)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 class PoseGraphResult(NamedTuple):
     poses: Pose
     initial_cost: Array
@@ -136,6 +151,7 @@ class PoseGraphResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
+@_f32_matmuls
 def optimize(poses0: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
              n_iters: int = 10) -> PoseGraphResult:
     """Batch pose-graph GN with block-tridiagonal exact solve."""
@@ -258,6 +274,7 @@ def _assemble_chain(poses: Pose, data: PoseGraphData, cfg: PoseGraphConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
+@_f32_matmuls
 def optimize_with_loops(poses0: Pose, data: PoseGraphData, loops: LoopFactors,
                         cfg: PoseGraphConfig, n_iters: int = 10
                         ) -> PoseGraphResult:
@@ -300,6 +317,7 @@ def _woodbury_solve(D: Array, U: Array, rhs: Array, W: Array) -> Array:
     return y - jnp.einsum("nim,m->ni", Z, jnp.linalg.solve(S, Wty))
 
 
+@_f32_matmuls
 def optimize_with_loops_distributed(mesh, poses0: Pose, data: PoseGraphData,
                                     loops: LoopFactors, cfg: PoseGraphConfig,
                                     n_iters: int = 10) -> PoseGraphResult:
@@ -393,6 +411,7 @@ def _optimize_loops_impl(poses0: Pose, data: PoseGraphData,
     return PoseGraphResult(poses=poses, initial_cost=initial, final_cost=final)
 
 
+@_f32_matmuls
 def optimize_distributed(mesh, poses0: Pose, data: PoseGraphData,
                          cfg: PoseGraphConfig, n_iters: int = 10
                          ) -> PoseGraphResult:
