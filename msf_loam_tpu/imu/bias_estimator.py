@@ -62,6 +62,12 @@ def solve_bias_window(poses_t: Array, poses_q: Array, vels0: Array,
       gravity: (3,). ba0/bg0: current estimates (warm start).
     """
     W1 = poses_t.shape[0]
+    # hoisted: the whitening matrices depend only on the (fixed) windows,
+    # and jacfwd through the GN scan would otherwise repeat the 15x15
+    # inverse + Cholesky per pair per iteration
+    sq_infos = jax.vmap(
+        lambda p: imu_factor_mod.sqrt_information(p, cfg.sqrt_info_scale)
+    )(pres)
 
     def residuals(params):
         ba, bg, vels = params
@@ -73,7 +79,8 @@ def solve_bias_window(poses_t: Array, poses_q: Array, vels0: Array,
                 pose=Pose(poses_t[i + 1], poses_q[i + 1]), v=vels[i + 1],
                 ba=ba, bg=bg)
             r, _ = imu_factor_mod.imu_factor_full(
-                pre, si, sj, gravity, info_scale=cfg.sqrt_info_scale)
+                pre, si, sj, gravity, info_scale=cfg.sqrt_info_scale,
+                sqrt_info=sq_infos[i])
             return r
 
         r_pairs = jax.vmap(pair, in_axes=(0, 0))(

@@ -43,7 +43,8 @@ class ImuState(NamedTuple):
 
 def imu_factor_blocks(pre: Preintegration, state_i: ImuState,
                       state_j: ImuState, gravity: Array,
-                      info_scale: float = 0.001) -> ResidualBlocks:
+                      info_scale: float = 0.001,
+                      sqrt_info: Array = None) -> ResidualBlocks:
     """Whitened residual + Jacobian wrt [dpose_j (6), dv_j (3)].
 
     Jacobian blocks follow imu_factor.cc eq48/eq49:
@@ -51,13 +52,19 @@ def imu_factor_blocks(pre: Preintegration, state_i: ImuState,
       d r_q / d th_j = Qleft(dq^-1 q_i^-1 q_j)[1:,1:]   (:124)
       d r_v / d v_j = R_i^T                       (:138)
     whitened by sqrt_info = 0.001 * chol(cov^-1)^T (:41-44).
+
+    ``sqrt_info`` may be passed precomputed: it depends only on ``pre``,
+    and callers that evaluate the factor inside a GN lax.scan (the tight
+    matcher — 12 iterations/frame) would otherwise repeat the 15x15
+    inverse + Cholesky every iteration.
     """
     r = evaluate_residual(
         pre,
         state_i.pose.t, state_i.pose.q, state_i.v, state_i.ba, state_i.bg,
         state_j.pose.t, state_j.pose.q, state_j.v, state_j.ba, state_j.bg,
         gravity)
-    sqrt_info = sqrt_information(pre, info_scale)
+    if sqrt_info is None:
+        sqrt_info = sqrt_information(pre, info_scale)
 
     Ri_inv = quat_to_matrix(state_i.pose.q).T
     dq_dbg = pre.jacobian[O_R:O_R + 3, O_BG:O_BG + 3]
@@ -80,7 +87,7 @@ def imu_factor_blocks(pre: Preintegration, state_i: ImuState,
 
 def imu_factor_full(pre: Preintegration, state_i: ImuState,
                     state_j: ImuState, gravity: Array,
-                    info_scale: float = 0.001):
+                    info_scale: float = 0.001, sqrt_info: Array = None):
     """Whitened residual + FULL analytic Jacobian of the 15-dim factor.
 
     Column layout (30 tangent dims, matching the reference's four Ceres
@@ -99,7 +106,8 @@ def imu_factor_full(pre: Preintegration, state_i: ImuState,
         state_i.pose.t, state_i.pose.q, state_i.v, state_i.ba, state_i.bg,
         state_j.pose.t, state_j.pose.q, state_j.v, state_j.ba, state_j.bg,
         gravity)
-    sqrt_info = sqrt_information(pre, info_scale)
+    if sqrt_info is None:
+        sqrt_info = sqrt_information(pre, info_scale)
 
     from msf_loam_tpu.core.se3 import quat_right
 
@@ -162,9 +170,12 @@ def imu_presolve(pre: Preintegration, prev_state: ImuState, gravity: Array,
     pose_j and v_j free, biases_j tied to biases_i)."""
     from msf_loam_tpu.ops import gauss_newton as gn
 
+    sq_info = sqrt_information(pre, info_scale)   # hoisted out of the GN scan
+
     def build(pose_j, v_j):
         state_j = ImuState(pose_j, v_j, prev_state.ba, prev_state.bg)
-        blocks = imu_factor_blocks(pre, prev_state, state_j, gravity, info_scale)
+        blocks = imu_factor_blocks(pre, prev_state, state_j, gravity,
+                                   info_scale, sqrt_info=sq_info)
         return [blocks], [jnp.ones((1,), jnp.float32)]
 
     out = gn.gauss_newton(build, prev_state.pose, prev_state.v,

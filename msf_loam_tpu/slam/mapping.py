@@ -411,12 +411,16 @@ def match_scan2map_tight_core(corner_map, surf_map,
     """
     from msf_loam_tpu.core.se3 import quat_rotate, quat_to_matrix
     from msf_loam_tpu.imu import imu_factor as imu_factor_mod
+    from msf_loam_tpu.imu.preintegration import sqrt_information
 
     pose = pose0
     vel = velocity0
     n_edge = jnp.float32(0.0)
     n_plane = jnp.float32(0.0)
     cost = jnp.float32(0.0)
+    # hoisted: depends only on the window, not the GN state — inside the
+    # scan it would re-run the 15x15 inverse+Cholesky every iteration
+    sq_info = sqrt_information(pre_pair)
 
     map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
              (surf_map.total_points() > cfg.min_map_surf)
@@ -458,7 +462,8 @@ def match_scan2map_tight_core(corner_map, surf_map,
             state_j = imu_factor_mod.ImuState(p, v, prev_state.ba,
                                               prev_state.bg)
             ib = imu_factor_mod.imu_factor_blocks(pre_pair, prev_state,
-                                                  state_j, gravity)
+                                                  state_j, gravity,
+                                                  sqrt_info=sq_info)
             return [eb, pb, ib], [gn.huber_weights(eb, cfg.huber_delta),
                                   gn.huber_weights(pb, cfg.huber_delta),
                                   jnp.full((1,), imu_weight, jnp.float32)]
