@@ -336,7 +336,13 @@ def run_batched_mode(batch=None, n_frames=N_FRAMES, n_reps=3):
         mapping=MappingConfig(map_table_size=(1 << 15) // batch,
                               map_cell_capacity=32,
                               max_query_points=4096,
-                              max_corner_query_points=1024),
+                              max_corner_query_points=1024,
+                              # equal protocol with run_single, whose loop
+                              # has no eviction pass either; on the 30-frame
+                              # bench trajectory the 100 m horizon never
+                              # drops a point anyway (eviction correctness:
+                              # test_batch_pipeline serving-config test)
+                              map_evict_period=0),
     )
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames)
     tile = lambda a: jnp.broadcast_to(a[:, None], (n_frames, batch) + a.shape[1:])
