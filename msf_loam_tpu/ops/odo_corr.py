@@ -53,34 +53,35 @@ _INF = 3.0e38
 
 
 def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
-                     a_ref, c_ref, cand_ref, *,
+                     a_ref, c_ref, cand_ref, d2_scratch, *,
                      K: int, nearby: float, M: int, NCH: int):
     """Chunked over M so VMEM temporaries stay (Nb, M/NCH) — a full
     (256, 8192) f32 tile chain blows the ~16 MB VMEM budget (the first
-    draft SIGABRT'd the Mosaic compiler). Each chunk is re-derived per
-    phase (distances are cheap; bytes are not), and with NCH == K each
-    chunk IS one candidate bin."""
+    draft SIGABRT'd the Mosaic compiler). Distances are computed once per
+    chunk in phase A and parked in a (Nb, M) VMEM scratch for phase C
+    (with Nb=64 that is 2 MB); with NCH == K each chunk IS one candidate
+    bin."""
     Nb = q_ref.shape[0]
     B = M // NCH
     qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
     iota = jax.lax.broadcasted_iota(jnp.int32, (Nb, B), 1)
-
-    def chunk_d2(ch):
-        dx = rx_ref[0:1, ch * B:(ch + 1) * B] - qx       # (Nb, B)
-        dy = ry_ref[0:1, ch * B:(ch + 1) * B] - qy
-        dz = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
-        return dx * dx + dy * dy + dz * dz
 
     def local_min(d2c, ch):
         v = jnp.min(d2c, axis=1, keepdims=True)
         li = jnp.min(jnp.where(d2c <= v, iota, B), axis=1, keepdims=True)
         return v, li + ch * B
 
-    # phase A: global nearest (+ per-bin candidates when NCH == K)
+    # phase A: distances + global nearest (+ per-bin candidates when
+    # NCH == K)
     a_d2 = jnp.full((Nb, 1), _INF, jnp.float32)
     a_idx = jnp.full((Nb, 1), M, jnp.int32)
     for ch in range(NCH):
-        v, gi = local_min(chunk_d2(ch), ch)
+        dx = rx_ref[0:1, ch * B:(ch + 1) * B] - qx       # (Nb, B)
+        dy = ry_ref[0:1, ch * B:(ch + 1) * B] - qy
+        dz = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
+        d2c = dx * dx + dy * dy + dz * dz
+        d2_scratch[:, ch * B:(ch + 1) * B] = d2c
+        v, gi = local_min(d2c, ch)
         if K:
             cand_ref[:, ch:ch + 1] = v
             cand_ref[:, K + ch:K + ch + 1] = gi.astype(jnp.float32)
@@ -97,13 +98,14 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
                               _INF), axis=1, keepdims=True)
         ring_a = jnp.minimum(ring_a, r)
 
-    # phase C: nearest on a different nearby ring
+    # phase C: nearest on a different nearby ring (cached distances)
     c_d2 = jnp.full((Nb, 1), _INF, jnp.float32)
     c_idx = jnp.full((Nb, 1), M, jnp.int32)
     for ch in range(NCH):
         ring_c = rring_ref[0:1, ch * B:(ch + 1) * B]
         dr = jnp.abs(ring_c - ring_a)
-        d2w = jnp.where((dr > 0.0) & (dr <= nearby), chunk_d2(ch), _INF)
+        d2w = jnp.where((dr > 0.0) & (dr <= nearby),
+                        d2_scratch[:, ch * B:(ch + 1) * B], _INF)
         v, gi = local_min(d2w, ch)
         upd = v < c_d2
         c_d2 = jnp.where(upd, v, c_d2)
@@ -128,7 +130,7 @@ class OdoCorr(NamedTuple):
                    static_argnames=("K", "nearby", "nb", "interpret"))
 def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
                     ref_ring: Array, *, K: int = 16, nearby: float = 2.5,
-                    nb: int = 256, interpret: bool = None) -> OdoCorr:
+                    nb: int = 64, interpret: bool = None) -> OdoCorr:
     """Fused correspondence reductions for one query cloud against one
     reference cloud (see module docstring).
 
@@ -180,6 +182,7 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
             jax.ShapeDtypeStruct((npad, 2), jnp.float32),
             jax.ShapeDtypeStruct((npad, 2 * kc), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((nb, M), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
