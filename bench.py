@@ -261,7 +261,8 @@ def run_lio_mode(n_frames=N_FRAMES, n_reps=3):
         features=FeatureConfig(max_points_per_ring=2048, max_less_flat=8192),
         mapping=MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
                               max_query_points=4096,
-                              max_corner_query_points=1024),
+                              max_corner_query_points=1024 if N_RINGS <= 32
+                              else 2048),
         imu=ImuConfig(tight_coupling=True))
     _, _, _, imgs = build_inputs(N_RINGS, PTS_PER_RING, n_frames + 1)
     mc = cfg.mapping
