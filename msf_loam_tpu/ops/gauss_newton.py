@@ -135,8 +135,12 @@ def gauss_newton(build_blocks: Callable[[Pose, Array], Tuple[Sequence[ResidualBl
         new_vel = vel + (dx[6:9] if state_dim > 6 else 0.0)
         return (new_pose, new_vel), (cost, n_in)
 
+    # full unroll: iterations are few (<=6) and the per-iteration work is
+    # ~100 small fused ops — unrolling lets XLA fuse/pipeline across
+    # iterations and CSE state-independent subexpressions instead of
+    # round-tripping the carry each step (same lesson as the pick rounds)
     (pose, vel), (costs, n_ins) = jax.lax.scan(
-        step, (pose0, velocity0), None, length=n_iters)
+        step, (pose0, velocity0), None, length=n_iters, unroll=True)
     return GNState(pose=pose, velocity=vel, cost=costs[-1], n_inliers=n_ins[-1])
 
 
