@@ -249,7 +249,25 @@ def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
     from msf_loam_tpu.ops import fitting
 
     neighbors = ref.xyz[sup_idx]                                 # (N, 5, 3)
-    fit = fitting.fit_planes(neighbors, sup_ok, cfg.plane_fit_tol)
+    if use_fused_corr(cfg):
+        # the XLA eigh3x3 chain over (N, S, 3) supports is ~100 small
+        # dependent ops (~0.35 ms/round at 64-ring — measured r4); the
+        # select_fit kernel runs the SAME TLS fit in-register. Invalid
+        # supports take the 1e9 positional sentinel; radius 1e17 keeps
+        # every real support (d2 < km^2) and rejects sentinels (d2~3e18);
+        # min_count = S reproduces fit_planes' all-slots-valid gate.
+        from msf_loam_tpu.ops.select_fit import select_fit_pallas
+
+        S = sup_idx.shape[1]
+        cand = jnp.where(sup_ok[:, :, None], neighbors, 1e9)
+        fs = select_fit_pallas(
+            jnp.transpose(cand, (2, 0, 1)), q_world,
+            jnp.float32(1e17), jnp.float32(1e17), k=S, mode="plane",
+            min_count=S, tol=cfg.plane_fit_tol)
+        fit = fitting.PlaneFit(center=fs.center, normal=fs.normal,
+                               valid=fs.valid)
+    else:
+        fit = fitting.fit_planes(neighbors, sup_ok, cfg.plane_fit_tol)
     valid = a_ok & fit.valid
     if cfg.corr_max_resid > 0:
         # residual gate at the live estimate: newly-REVEALED surface points
