@@ -81,8 +81,39 @@ assert np.isfinite(pose_t).all(), pose_t
 # ~0.2 m of true motion must be recovered (not just "finite")
 assert abs(pose_t[0] - 0.2) < 0.1, pose_t
 
+# --- multi-process sharded checkpoint/resume (VERDICT r3 #8): every
+# rank snapshots ITS addressable map shards, a fresh pipeline on the
+# same global mesh restores them, and the resumed run must match the
+# uninterrupted one ---
+from msf_loam_tpu.slam import checkpoint as ckpt_mod
+ck = os.path.join(os.environ["MSF_CKPT_DIR"], "sharded.npz")
+ckpt_mod.save_sharded_checkpoint(pipe, ck)
+extra = []
+for i in (3, 4):
+    xyz, ring = synthetic.simulate_scan(
+        world, np.array([0.1 * i, 0.0, 0.0]), np.eye(3), n_rings=8,
+        pts_per_ring=360, noise=0.004, seed=i)
+    extra.append(preprocess.preprocess_scan(xyz, ring, cfg.features,
+                                            num_rings=8))
+for j, im in enumerate(extra):
+    res_a = pipe.process_ring_image(im, 0.1 * (3 + j))
+pose_a = np.asarray(res_a.map_pose.t)
+
+pipe2 = ShardedSlamPipeline(cfg, mm)
+ckpt_mod.load_sharded_checkpoint(pipe2, ck)
+assert pipe2.frame_idx == 3
+# resume needs the previous scan for scan-to-scan matching (same
+# convention as the dense resume test)
+from msf_loam_tpu.ops import features as feat_mod
+pipe2.prev_scan = feat_mod.extract_features(img, jnp.float32(0.2),
+                                            cfg.features)
+for j, im in enumerate(extra):
+    res_b = pipe2.process_ring_image(im, 0.1 * (3 + j))
+pose_b = np.asarray(res_b.map_pose.t)
+assert np.allclose(pose_a, pose_b, atol=1e-5), (pose_a, pose_b)
+
 print("MULTIPROCESS_OK rank=%d sum=%d procs=%d devices=%d sharded_nn=%d "
-      "pipeline_t=%.3f,%.3f,%.3f" %
+      "pipeline_t=%.3f,%.3f,%.3f resume=ok" %
       (jax.process_index(), int(s), jax.process_count(), len(jax.devices()),
        nn_found, pose_t[0], pose_t[1], pose_t[2]),
       flush=True)
@@ -90,8 +121,10 @@ print("MULTIPROCESS_OK rank=%d sum=%d procs=%d devices=%d sharded_nn=%d "
 
 
 def main():
+    import tempfile
     env = dict(os.environ)
     env["MSF_REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["MSF_CKPT_DIR"] = tempfile.mkdtemp(prefix="msf_mp_ck_")
     env["MSF_COORD"] = "localhost:12355"
     env["MSF_NUM_PROCESSES"] = "2"
     # must be in the spawn env: sitecustomize registers the axon TPU
@@ -109,20 +142,21 @@ def main():
     ok = True
     poses = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        out, _ = p.communicate(timeout=600)
         text = out.decode()
         if p.returncode != 0:
             ok = False
             print(text[-2000:])
-        elif "MULTIPROCESS_OK" in text:
+        elif "MULTIPROCESS_OK" in text and "resume=ok" in text:
             line = [ln for ln in text.strip().splitlines()
                     if "MULTIPROCESS_OK" in ln][-1]
             print(line)
             poses.append(line.split("pipeline_t=")[-1])
-    # both ranks must agree on the sharded pipeline's pose bit-for-bit
-    if ok and len(set(poses)) != 1:
+    # both ranks must report (incl. resume=ok) and agree on the sharded
+    # pipeline's pose bit-for-bit
+    if ok and (len(poses) != 2 or len(set(poses)) != 1):
         ok = False
-        print("rank pose mismatch:", poses)
+        print("rank pose mismatch/missing:", poses)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
