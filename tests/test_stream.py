@@ -131,3 +131,55 @@ def test_stream_producer_consumer_e2e(tmp_path):
     # absolute error stays bounded (no drift accumulated through sheds)
     assert np.linalg.norm(est[-1] - gt_at(times[-1])) < 0.3, (
         est[-1], gt_at(times[-1]))
+
+
+def test_stream_malformed_producer_terminates():
+    """Garbage bytes (bad magic) or a mid-message hangup must end the
+    stream cleanly — the consumer yields what it got and returns, never
+    hangs or raises."""
+    import socket
+
+    server = StreamServer("127.0.0.1:0", accept_timeout=20)
+
+    def produce():
+        host, port = server.address.rsplit(":", 1)
+        s = socket.socket()
+        s.connect((host, int(port)))
+        # one valid message, then garbage magic, then hangup
+        s.sendall(__import__("msf_loam_tpu.dataio.stream",
+                             fromlist=["_encode"])._encode(
+            ImuMsg(time=1.0, acc=np.zeros(3, np.float32),
+                   gyr=np.zeros(3, np.float32))))
+        s.sendall(b"JUNKJUNKJUNK")
+        s.close()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    got = list(server.messages())
+    server.close()
+    t.join(timeout=10)
+    assert len(got) == 1 and isinstance(got[0][0], ImuMsg)
+
+
+def test_stream_truncated_message_terminates():
+    import socket
+    import struct
+
+    from msf_loam_tpu.dataio.stream import MAGIC
+
+    server = StreamServer("127.0.0.1:0", accept_timeout=20)
+
+    def produce():
+        host, port = server.address.rsplit(":", 1)
+        s = socket.socket()
+        s.connect((host, int(port)))
+        # header promises 1000 payload bytes, delivers 10, hangs up
+        s.sendall(struct.pack("<4sBI", MAGIC, 1, 1000) + b"x" * 10)
+        s.close()
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    got = list(server.messages())
+    server.close()
+    t.join(timeout=10)
+    assert got == []
