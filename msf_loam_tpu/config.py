@@ -134,6 +134,18 @@ class MappingConfig:
     # the gathered candidates per re-association round instead of ~5.
     # "auto" = on when the backend is TPU; "on"/"off" force it.
     fused_select: str = "auto"
+    # two-level octant gather (voxel_map.gather_candidates_planar_2l):
+    # dedupe the Q*8 octant slot ids and fetch each unique slab once, then
+    # re-expand from the small compact buffer. Measured and REJECTED as an
+    # XLA-level program in r4 (scripts/bench_gather_2l.py: 1.13 vs 0.69 ms
+    # — ANY 32k-element dedupe pass costs more than the gather it
+    # replaces; see docs/RESULTS.md). Kept off for a future in-kernel
+    # expansion; "on" forces it, "auto" currently means off.
+    gather_two_level: str = "off"
+    # compact-buffer capacity for the two-level gather (unique slots per
+    # frame + 1 sentinel row). Overflow drops candidates (graceful); size
+    # above the per-frame unique-cell count (~640 at bench scale).
+    gather_u_max: int = 4096
     line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
     plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
     outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)

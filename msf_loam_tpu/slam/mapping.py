@@ -128,6 +128,13 @@ def use_fused_select(cfg: MappingConfig) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def use_two_level_gather(cfg: MappingConfig) -> bool:
+    """Resolve the gather_two_level tri-state. Measured and rejected as an
+    XLA-level program on TPU (r4, scripts/bench_gather_2l.py) — "auto"
+    currently resolves OFF everywhere; "on" forces it for experiments."""
+    return cfg.gather_two_level == "on"
+
+
 class _CandidateCache:
     """Per-frame octant gathers for both maps (voxel_map.gather_candidates):
     TPU gathers are row-latency-bound, so they run once per frame and each
@@ -144,10 +151,14 @@ class _CandidateCache:
                  cfg: MappingConfig = None):
         self.fused = use_fused_select(cfg) if cfg is not None else False
         if self.fused:
-            self.candp_c = voxel_map_mod.gather_candidates_planar(
-                corner_map, cw0, corner.mask)
-            self.candp_s = voxel_map_mod.gather_candidates_planar(
-                surf_map, sw0, surf.mask)
+            if cfg is not None and use_two_level_gather(cfg):
+                gather = functools.partial(
+                    voxel_map_mod.gather_candidates_planar_2l,
+                    u_max=cfg.gather_u_max)
+            else:
+                gather = voxel_map_mod.gather_candidates_planar
+            self.candp_c = gather(corner_map, cw0, corner.mask)
+            self.candp_s = gather(surf_map, sw0, surf.mask)
         else:
             self.cand_c, self.val_c = voxel_map_mod.gather_candidates(
                 corner_map, cw0, corner.mask)

@@ -344,6 +344,70 @@ def gather_candidates_planar(vmap: VoxelHashMap, query: Array,
     return cand.reshape(3, q.shape[0], 8 * P)
 
 
+def _two_level_slots(slots_flat: Array, table_size: int, u_max: int
+                     ) -> Tuple[Array, Array]:
+    """Dedupe a flat slot-id vector for the two-level gather.
+
+    Returns ``(uslots (u_max,), remap (n,))`` with
+    ``uslots[remap[i]] == slots_flat[i]`` for every i whose slot id ranks
+    below ``u_max - 1`` among the uniques. Index ``u_max - 1`` is the
+    overflow sentinel — callers must make that compact row EMPTY_COORD so
+    overflowed candidates are dropped (graceful degradation, same
+    philosophy as slab overflow on insert) rather than aliased.
+
+    Sort-free: an argsort-based dedupe costs more than the one-level
+    gather it replaces (~0.6 ms for a 32k argsort, measured r4 —
+    scripts/bench_gather_2l.py), so uniques are ranked by a presence
+    scatter + exclusive prefix sum over the table axis instead.
+    """
+    h = table_size
+    flags = jnp.zeros((h,), jnp.int32).at[slots_flat].set(1)
+    rank = jnp.cumsum(flags) - flags                 # 0-based unique rank
+    si = u_max - 1
+    rank = jnp.minimum(rank, si)
+    uslots = jnp.zeros((u_max,), jnp.int32).at[
+        jnp.where(flags == 1, rank, u_max)].set(
+        jnp.arange(h, dtype=jnp.int32), mode="drop")
+    remap = rank[slots_flat]
+    return uslots, remap
+
+
+@functools.partial(jax.jit, static_argnames=("u_max",))
+def gather_candidates_planar_2l(vmap: VoxelHashMap, query: Array,
+                                query_mask: Array, u_max: int = 2048
+                                ) -> Array:
+    """Two-level octant gather, same contract as gather_candidates_planar.
+
+    The Q*8 octant slot fetches of a spatially-clustered query set touch
+    far fewer UNIQUE table slots (~880 of 32768 for surface-clustered
+    queries, measured r4), so the big-table gather is split: (1) dedupe
+    slot ids and fetch each unique slab ONCE from the (3, H, P) table,
+    (2) re-expand per-query candidates from the compact (3, u_max, P)
+    buffer. Bit-identical to the one-level gather whenever the frame
+    touches <= u_max - 1 unique slots (overflow drops candidates via the
+    EMPTY_COORD sentinel row instead of aliasing them).
+
+    MEASURED AND REJECTED as an XLA-level program (r4, scripts/
+    bench_gather_2l.py on real TPU): 1.13-1.22 ms vs 0.69 ms one-level at
+    Q=4096 — every 32k-element dedupe primitive (scatter ~0.34 ms, 1-D
+    cumsum ~0.35 ms, argsort ~0.6 ms) costs as much as the whole gather
+    it replaces, independent of the dedupe algorithm. Kept (off by
+    default, config.gather_two_level) as groundwork for an in-kernel
+    variant where the dedupe amortizes into the selection kernel's pass.
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    del query_mask  # same contract as gather_candidates_planar
+    q = query.astype(jnp.float32)
+    ncells = neighbor_cells8(q, vmap.cell_size)                  # (Q, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (Q, 8)
+    uslots, remap = _two_level_slots(slots.reshape(-1), H, u_max)
+    tp = jnp.transpose(vmap.points, (2, 0, 1))                   # (3, H, P)
+    compact = tp[:, uslots]                                      # (3, U, P)
+    compact = compact.at[:, u_max - 1, :].set(EMPTY_COORD)
+    cand = compact[:, remap]                                     # (3, Q*8, P)
+    return cand.reshape(3, q.shape[0], 8 * P)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def select_knn(cand: Array, cand_valid: Array, query: Array,
                cell_size: Array, k: int = 5

@@ -190,3 +190,67 @@ def test_matcher_fused_vs_xla_end_to_end():
                                np.asarray(res_xla.pose.t), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_fused.pose.q),
                                np.asarray(res_xla.pose.q), atol=1e-5)
+
+
+def test_matcher_two_level_gather_matches_one_level():
+    """fused matcher with gather_two_level on vs off: the two-level octant
+    gather is bit-identical below the u_max budget, so recovered poses
+    must agree exactly (same candidates, same kernel)."""
+    import dataclasses
+
+    from msf_loam_tpu.config import MappingConfig
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose, quat_exp
+    from msf_loam_tpu.slam.mapping import match_scan2map_core
+    from msf_loam_tpu.slam.voxel_map import create_map, insert
+
+    rng = np.random.default_rng(7)
+    npts = 2000
+    floor = np.stack([rng.uniform(-10, 10, npts), rng.uniform(-10, 10, npts),
+                      np.zeros(npts)], -1)
+    wall = np.stack([rng.uniform(-10, 10, npts), np.full(npts, 5.0),
+                     rng.uniform(0, 4, npts)], -1)
+    col = np.stack([np.full(200, 2.0), np.full(200, 2.0),
+                    np.linspace(0, 4, 200)], -1)
+    surf_pts = np.concatenate([floor, wall]).astype(np.float32)
+    corner_pts = np.concatenate([col, col + [1.5, -2.0, 0.0]]).astype(
+        np.float32)
+
+    cfg = MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
+                        max_query_points=512, fused_select="on")
+    cmap = create_map(cfg.map_table_size, cfg.map_cell_capacity,
+                      cfg.map_cell_size, cfg.line_resolution)
+    smap = create_map(cfg.map_table_size, cfg.map_cell_capacity,
+                      cfg.map_cell_size, cfg.plane_resolution)
+    cmap = insert(cmap, jnp.asarray(corner_pts),
+                  jnp.ones(len(corner_pts), bool))
+    smap = insert(smap, jnp.asarray(surf_pts), jnp.ones(len(surf_pts), bool))
+
+    true_pose = Pose(t=jnp.asarray([0.1, -0.05, 0.02], jnp.float32),
+                     q=quat_exp(jnp.asarray([0.0, 0.0, 0.02], jnp.float32)))
+    inv = true_pose.inverse()
+
+    def mk_scan(pts, n, q):
+        sel = pts[rng.choice(len(pts), n, replace=False)]
+        xyz = jnp.pad(inv.apply(jnp.asarray(sel)), ((0, q - n), (0, 0)))
+        mask = jnp.pad(jnp.ones(n, bool), (0, q - n))
+        return PointBatch(xyz=xyz, mask=mask,
+                          rel_time=jnp.zeros(q, jnp.float32),
+                          ring=jnp.zeros(q, jnp.int32))
+
+    scan_c = mk_scan(corner_pts, 128, 512)
+    scan_s = mk_scan(surf_pts, 512, 512)
+    p0 = Pose.identity()
+
+    res_one = match_scan2map_core(
+        cmap, smap, scan_c, scan_s, p0,
+        dataclasses.replace(cfg, gather_two_level="off"))
+    res_two = match_scan2map_core(
+        cmap, smap, scan_c, scan_s, p0,
+        dataclasses.replace(cfg, gather_two_level="on", gather_u_max=2048))
+
+    assert bool(res_one.ok) and bool(res_two.ok)
+    np.testing.assert_array_equal(np.asarray(res_two.pose.t),
+                                  np.asarray(res_one.pose.t))
+    np.testing.assert_array_equal(np.asarray(res_two.pose.q),
+                                  np.asarray(res_one.pose.q))

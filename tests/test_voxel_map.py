@@ -239,3 +239,51 @@ def test_gather_planar_matches_dense():
     np.testing.assert_array_equal(
         np.asarray(dense_from_planar)[np.asarray(valid)],
         np.asarray(cand)[np.asarray(valid)])
+
+
+def test_gather_planar_2l_bit_identical():
+    """Two-level gather == one-level planar gather (bit-exact) when the
+    unique-slot count fits the compact budget."""
+    import numpy as np
+
+    from msf_loam_tpu.slam.voxel_map import (create_map,
+                                             gather_candidates_planar,
+                                             gather_candidates_planar_2l,
+                                             insert)
+
+    rng = np.random.default_rng(3)
+    m = create_map(1 << 12, 8, 2.0, 0.4)
+    pts = jnp.asarray(rng.uniform(-30, 30, (4000, 3)).astype(np.float32))
+    m = insert(m, pts, jnp.ones(4000, bool))
+
+    q = jnp.asarray(rng.uniform(-30, 30, (256, 3)).astype(np.float32))
+    qmask = jnp.ones(256, bool)
+    one = gather_candidates_planar(m, q, qmask)
+    two = gather_candidates_planar_2l(m, q, qmask, u_max=2048)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
+def test_gather_planar_2l_overflow_drops_not_aliases():
+    """When unique slots exceed u_max - 1, overflowed candidates become
+    EMPTY_COORD (dropped) — never another cell's points."""
+    import numpy as np
+
+    from msf_loam_tpu.slam.voxel_map import (EMPTY_COORD, create_map,
+                                             gather_candidates_planar,
+                                             gather_candidates_planar_2l,
+                                             insert)
+
+    rng = np.random.default_rng(4)
+    m = create_map(1 << 12, 8, 2.0, 0.4)
+    pts = jnp.asarray(rng.uniform(-40, 40, (6000, 3)).astype(np.float32))
+    m = insert(m, pts, jnp.ones(6000, bool))
+
+    q = jnp.asarray(rng.uniform(-40, 40, (512, 3)).astype(np.float32))
+    qmask = jnp.ones(512, bool)
+    one = np.asarray(gather_candidates_planar(m, q, qmask))
+    two = np.asarray(gather_candidates_planar_2l(m, q, qmask, u_max=64))
+    # every two-level entry is either the one-level value or the sentinel
+    dropped = two[0] >= EMPTY_COORD * 0.5
+    assert dropped.any()          # the tiny budget must actually overflow
+    same = (two == one).all(axis=0)
+    assert np.all(same | dropped[None, ...].repeat(3, 0).all(axis=0) | dropped)
