@@ -122,7 +122,8 @@ def run_single(n_rings, pts_per_ring, n_frames=N_FRAMES, n_reps=3):
     from msf_loam_tpu.core.se3 import Pose
     from msf_loam_tpu.ops import features as feat_mod
     from msf_loam_tpu.slam import mapping, odometry, voxel_map
-    from msf_loam_tpu.slam.pipeline import downsample_features
+    from msf_loam_tpu.slam.pipeline import (downsample_features,
+                                            downsample_features_grouped)
 
     corner_map = voxel_map.create_map(mcfg.map_table_size,
                                       mcfg.map_cell_capacity,
@@ -135,14 +136,32 @@ def run_single(n_rings, pts_per_ring, n_frames=N_FRAMES, n_reps=3):
         feats = feat_mod.extract_features(img_t, jnp.float32(0.0), fcfg)
         odo = odometry.match_scan2scan(prev_feats, feats, pose_c2l, ocfg)
         pose_w = pose_w.compose(odo.pose_curr2last)
-        corner_ds = downsample_features(feats.corner_less_sharp,
-                                        mcfg.line_resolution,
-                                        mcfg.corner_query_points)
-        surf_ds = downsample_features(feats.surf_less_flat,
-                                      mcfg.plane_resolution,
-                                      mcfg.max_query_points)
+        if mapping.use_grouped_gather(mcfg):
+            # grouped two-level octant gather (r5): queries grouped by
+            # base cell at the matcher's query transform, same as
+            # pipeline._frame_core
+            corner_ds, corner_groups = downsample_features_grouped(
+                feats.corner_less_sharp, mcfg.line_resolution,
+                mcfg.corner_query_points,
+                pose_w.apply(feats.corner_less_sharp.xyz),
+                mcfg.map_cell_size, mcfg.gather_groups)
+            surf_ds, surf_groups = downsample_features_grouped(
+                feats.surf_less_flat, mcfg.plane_resolution,
+                mcfg.max_query_points,
+                pose_w.apply(feats.surf_less_flat.xyz),
+                mcfg.map_cell_size, mcfg.gather_groups)
+        else:
+            corner_groups = surf_groups = None
+            corner_ds = downsample_features(feats.corner_less_sharp,
+                                            mcfg.line_resolution,
+                                            mcfg.corner_query_points)
+            surf_ds = downsample_features(feats.surf_less_flat,
+                                          mcfg.plane_resolution,
+                                          mcfg.max_query_points)
         mres = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds,
-                                      pose_w, mcfg)
+                                      pose_w, mcfg,
+                                      corner_groups=corner_groups,
+                                      surf_groups=surf_groups)
         cw = corner_ds.transform(mres.pose)
         sw = surf_ds.transform(mres.pose)
         cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)

@@ -146,6 +146,19 @@ class MappingConfig:
     # frame + 1 sentinel row). Overflow drops candidates (graceful); size
     # above the per-frame unique-cell count (~640 at bench scale).
     gather_u_max: int = 4096
+    # grouped two-level octant gather (r5, the design that finally WON):
+    # the mapping downsample sorts queries by (octant base cell, leaf
+    # voxel), so the slab gather runs once per base-cell GROUP and
+    # re-expands from the compact buffer (voxel_map.
+    # gather_candidates_planar_grouped — 0.10 + 0.03 ms vs 0.41 ms net at
+    # Q=4096, scripts/bench_gather_r5.py). "auto" = on whenever the fused
+    # Pallas selection path is on (TPU); "on"/"off" force it.
+    gather_grouped: str = "auto"
+    # static group budget per feature type (+1 overflow sentinel row).
+    # Frames touching more base cells drop candidates for the overflow
+    # groups (graceful, like slab overflow). Street/bench scale measures
+    # ~300-700 unique base cells per 4096 queries.
+    gather_groups: int = 1024
     line_eig_ratio: float = 3.0        # λ2 > 3 λ1 line test (mapping_scan_matcher.cc:147)
     plane_fit_tol: float = 0.2         # planarity residual bound (mapping_scan_matcher.cc:216)
     outer_rounds: int = 2              # kOptimalNum (mapping_scan_matcher.cc:15)

@@ -129,7 +129,16 @@ def corner_gate_array(curv: Array, eligible: Array, sector: Array,
                 / jnp.maximum(jnp.sum(w_sm, axis=2), 1.0))        # (R, S)
     gate_rs = jnp.maximum(cfg.curvature_threshold,
                           cfg.corner_gate_factor * sec_mean)
-    return jnp.take_along_axis(gate_rs, jnp.maximum(sector, 0), axis=1)
+    # per-position lookup as a select chain, NOT take_along_axis: a
+    # (R, W)-element gather from the (R, S) table is element-granular and
+    # row-latency-bound (~1.1 ms/frame at 64-ring, the single most
+    # expensive op of the whole frame — xprof r5); S static selects cost
+    # microseconds and are bit-exact (sector -1 falls through to sector 0,
+    # matching the old jnp.maximum(sector, 0) semantics)
+    gate = jnp.broadcast_to(gate_rs[:, 0:1], sector.shape)
+    for s in range(1, S):
+        gate = jnp.where(sector == s, gate_rs[:, s:s + 1], gate)
+    return gate
 
 
 def _gap_sq(xyz: Array) -> Array:

@@ -29,7 +29,8 @@ from msf_loam_tpu.ops import fitting
 from msf_loam_tpu.ops import gauss_newton as gn
 from msf_loam_tpu.ops import icp_residuals as icp
 from msf_loam_tpu.slam import odometry, voxel_map
-from msf_loam_tpu.slam.pipeline import downsample_features
+from msf_loam_tpu.slam.pipeline import (downsample_features,
+                                        downsample_features_grouped)
 from msf_loam_tpu.slam.voxel_map import (VoxelHashMap, _hash_cells,
                                          insert_at_slots, neighbor_cells8)
 
@@ -201,6 +202,32 @@ def _fused_gather_candidates_planar(vmap_state: VoxelHashMap, H: int,
     return cand.reshape(3, B * Q, 8 * P)
 
 
+def _fused_gather_candidates_planar_grouped(vmap_state: VoxelHashMap,
+                                            H: int, query: Array,
+                                            gid: Array, rep_pos: Array
+                                            ) -> Array:
+    """Grouped two-level octant gather over the fused table — the batched
+    analog of voxel_map.gather_candidates_planar_grouped: one slab fetch
+    per (lane, base-cell group) instead of per query, re-expanded per
+    query from the compact per-lane buffer. Same output contract as
+    _fused_gather_candidates_planar ((3, B*Q, 8P) planar candidates)."""
+    B, Q, _ = query.shape
+    G = rep_pos.shape[1]
+    P = vmap_state.slab_capacity
+    rep_w = jnp.take_along_axis(
+        query, jnp.clip(rep_pos, 0, Q - 1)[..., None], axis=1)  # (B, G, 3)
+    ncells = neighbor_cells8(rep_w.reshape(B * G, 3), vmap_state.cell_size)
+    slots = _hash_cells(ncells, H)                              # (BG, 8)
+    offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, G)
+    slots = slots + offset[:, None]
+    grp = vmap_state.points[slots]                              # (BG,8,P,3)
+    grp_rows = jnp.transpose(grp, (0, 3, 1, 2)).reshape(B, G, 3 * 8 * P)
+    grp_rows = grp_rows.at[:, G - 1, :].set(voxel_map.EMPTY_COORD)
+    cand = jnp.take_along_axis(
+        grp_rows, jnp.clip(gid, 0, G - 1)[..., None], axis=1)   # (B,Q,24P)
+    return jnp.transpose(cand.reshape(B * Q, 3, 8 * P), (1, 0, 2))
+
+
 def _batched_fused_associate(candp_c, candp_s, cell_c, cell_s, corner_ds,
                              surf_ds, cw, sw, mc):
     """Per-round association on the fused Pallas kernel (B*Q rows at once).
@@ -228,7 +255,8 @@ def _batched_fused_associate(candp_c, candp_s, cell_c, cell_s, corner_ds,
 
 
 def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
-                       cfg) -> Tuple[Pose, Array]:
+                       cfg, corner_groups=None, surf_groups=None
+                       ) -> Tuple[Pose, Array]:
     """2 re-association rounds x 6-iter GN for all B sequences. Candidate
     octants gather ONCE per frame over the fused table (B*Q*8 rows is the
     single most row-latency-expensive op in the program); each round only
@@ -240,9 +268,18 @@ def _batched_map_match(corner_map, surf_map, H, corner_ds, surf_ds, poses,
 
     apply_b = jax.vmap(lambda p, x: p.apply(x))
 
-    from msf_loam_tpu.slam.mapping import use_fused_select
+    from msf_loam_tpu.slam.mapping import use_fused_select, use_grouped_gather
     fused = use_fused_select(mc)
-    if fused:
+    grouped = (use_grouped_gather(mc) and corner_groups is not None
+               and surf_groups is not None)
+    if fused and grouped:
+        candp_c = _fused_gather_candidates_planar_grouped(
+            corner_map, H, apply_b(pose, corner_ds.xyz),
+            corner_groups.gid, corner_groups.rep_pos)
+        candp_s = _fused_gather_candidates_planar_grouped(
+            surf_map, H, apply_b(pose, surf_ds.xyz),
+            surf_groups.gid, surf_groups.rep_pos)
+    elif fused:
         candp_c = _fused_gather_candidates_planar(
             corner_map, H, apply_b(pose, corner_ds.xyz), corner_ds.mask)
         candp_s = _fused_gather_candidates_planar(
@@ -331,11 +368,41 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
         Pose.identity(), pose_c2l)
     pose_odom = state.pose_odom.compose(step_pose)
 
-    ds = jax.vmap(lambda pb: downsample_features(
-        pb, mc.line_resolution, mc.corner_query_points))
-    corner_ds = ds(feats.corner_less_sharp)
-    surf_ds = jax.vmap(lambda pb: downsample_features(
-        pb, mc.plane_resolution, mc.max_query_points))(feats.surf_less_flat)
+    guess = state.pose_o2m.compose(pose_odom)
+    from msf_loam_tpu.slam.mapping import use_grouped_gather
+    grouped = use_grouped_gather(mc)
+    if grouped:
+        # grouping keys = per-lane world positions at the matcher's query
+        # transform (dense-path parity: pipeline._frame_core r5)
+        from msf_loam_tpu.imu import deskew as deskew_mod
+
+        def _key_world(pb, sp, g):
+            if oc.motion_deskew:
+                pb = deskew_mod.undistort_from_motion(pb, sp,
+                                                      fc.scan_period)
+            return g.apply(pb.xyz)
+
+        def ds_grouped(pb, sp, g, leaf, cap):
+            return downsample_features_grouped(
+                pb, leaf, cap, _key_world(pb, sp, g), mc.map_cell_size,
+                mc.gather_groups)
+
+        corner_ds, corner_groups = jax.vmap(
+            lambda pb, sp, g: ds_grouped(pb, sp, g, mc.line_resolution,
+                                         mc.corner_query_points))(
+            feats.corner_less_sharp, step_pose, guess)
+        surf_ds, surf_groups = jax.vmap(
+            lambda pb, sp, g: ds_grouped(pb, sp, g, mc.plane_resolution,
+                                         mc.max_query_points))(
+            feats.surf_less_flat, step_pose, guess)
+    else:
+        corner_groups = surf_groups = None
+        ds = jax.vmap(lambda pb: downsample_features(
+            pb, mc.line_resolution, mc.corner_query_points))
+        corner_ds = ds(feats.corner_less_sharp)
+        surf_ds = jax.vmap(lambda pb: downsample_features(
+            pb, mc.plane_resolution, mc.max_query_points))(
+            feats.surf_less_flat)
     if oc.motion_deskew:
         # dense-path parity (slam.pipeline._frame_core): constant-velocity
         # reprojection from each lane's feedback-free odometry step
@@ -347,9 +414,9 @@ def _frame_fn(cfg: MsfLoamConfig, H: int, state: BatchState,
         corner_ds = dk(corner_ds, step_pose)
         surf_ds = dk(surf_ds, step_pose)
 
-    guess = state.pose_o2m.compose(pose_odom)
     pose_map, ok = _batched_map_match(
-        state.corner_map, state.surf_map, H, corner_ds, surf_ds, guess, cfg)
+        state.corner_map, state.surf_map, H, corner_ds, surf_ds, guess, cfg,
+        corner_groups=corner_groups, surf_groups=surf_groups)
     pose_map = jax.tree.map(
         lambda n, o: jnp.where(ok.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
         pose_map, guess)

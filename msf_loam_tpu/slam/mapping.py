@@ -131,8 +131,28 @@ def use_fused_select(cfg: MappingConfig) -> bool:
 def use_two_level_gather(cfg: MappingConfig) -> bool:
     """Resolve the gather_two_level tri-state. Measured and rejected as an
     XLA-level program on TPU (r4, scripts/bench_gather_2l.py) — "auto"
-    currently resolves OFF everywhere; "on" forces it for experiments."""
+    currently resolves OFF everywhere; "on" forces it for experiments.
+    Only consulted on the fused-select path: warn when forced on while
+    fused selection resolves off (the non-fused branch would silently run
+    the one-level query path instead)."""
+    if cfg.gather_two_level == "on" and not use_fused_select(cfg):
+        import warnings
+        warnings.warn("mapping.gather_two_level='on' has no effect while "
+                      "fused_select resolves off (non-TPU backend or "
+                      "fused_select='off'): the non-fused candidate path "
+                      "always uses the one-level gather.")
     return cfg.gather_two_level == "on"
+
+
+def use_grouped_gather(cfg: MappingConfig) -> bool:
+    """Resolve the gather_grouped tri-state: on the fused-select path by
+    default (it consumes the same planar candidate contract); the XLA
+    fallback path keeps the one-level gather."""
+    if cfg.gather_grouped == "on":
+        return True
+    if cfg.gather_grouped == "off":
+        return False
+    return use_fused_select(cfg)
 
 
 class _CandidateCache:
@@ -148,17 +168,27 @@ class _CandidateCache:
 
     def __init__(self, corner_map, surf_map, corner: PointBatch,
                  surf: PointBatch, cw0: Array, sw0: Array,
-                 cfg: MappingConfig = None):
+                 cfg: MappingConfig = None,
+                 corner_groups=None, surf_groups=None):
         self.fused = use_fused_select(cfg) if cfg is not None else False
         if self.fused:
-            if cfg is not None and use_two_level_gather(cfg):
-                gather = functools.partial(
-                    voxel_map_mod.gather_candidates_planar_2l,
-                    u_max=cfg.gather_u_max)
+            grouped = (cfg is not None and use_grouped_gather(cfg)
+                       and corner_groups is not None
+                       and surf_groups is not None)
+            if grouped:
+                self.candp_c = voxel_map_mod.gather_candidates_planar_grouped(
+                    corner_map, cw0, corner_groups.gid, corner_groups.rep_pos)
+                self.candp_s = voxel_map_mod.gather_candidates_planar_grouped(
+                    surf_map, sw0, surf_groups.gid, surf_groups.rep_pos)
             else:
-                gather = voxel_map_mod.gather_candidates_planar
-            self.candp_c = gather(corner_map, cw0, corner.mask)
-            self.candp_s = gather(surf_map, sw0, surf.mask)
+                if cfg is not None and use_two_level_gather(cfg):
+                    gather = functools.partial(
+                        voxel_map_mod.gather_candidates_planar_2l,
+                        u_max=cfg.gather_u_max)
+                else:
+                    gather = voxel_map_mod.gather_candidates_planar
+                self.candp_c = gather(corner_map, cw0, corner.mask)
+                self.candp_s = gather(surf_map, sw0, surf.mask)
         else:
             self.cand_c, self.val_c = voxel_map_mod.gather_candidates(
                 corner_map, cw0, corner.mask)
@@ -233,20 +263,26 @@ class MappingResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def match_scan2map(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                    scan_corner: PointBatch, scan_surf: PointBatch,
-                   pose0: Pose, cfg: MappingConfig) -> MappingResult:
+                   pose0: Pose, cfg: MappingConfig,
+                   corner_groups=None, surf_groups=None) -> MappingResult:
     """Loosely-coupled scan-to-map GN (pre-IMU-init path,
     mapping_scan_matcher.cc:95-97,122-123)."""
     return match_scan2map_core(corner_map, surf_map, scan_corner, scan_surf,
-                               pose0, cfg)
+                               pose0, cfg, corner_groups=corner_groups,
+                               surf_groups=surf_groups)
 
 
 def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                         scan_corner: PointBatch, scan_surf: PointBatch,
                         pose0: Pose, cfg: MappingConfig,
                         query_fn=None, query2_fn=None,
-                        query_pair_fn=None) -> MappingResult:
+                        query_pair_fn=None,
+                        corner_groups=None, surf_groups=None
+                        ) -> MappingResult:
     """Unjitted matcher core; ``query_fn``/``query2_fn`` swap the kNN
-    backend (the sharded pipeline passes the multi-device queries)."""
+    backend (the sharded pipeline passes the multi-device queries);
+    ``corner_groups``/``surf_groups`` (voxel_map.QueryGroups) enable the
+    grouped two-level gather on the fused candidate-cache path."""
     pose = pose0
     n_edge = jnp.float32(0.0)
     n_plane = jnp.float32(0.0)
@@ -260,7 +296,9 @@ def match_scan2map_core(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
             and query2_fn is None and query_pair_fn is None:
         cache = _CandidateCache(corner_map, surf_map, scan_corner, scan_surf,
                                 pose.apply(scan_corner.xyz),
-                                pose.apply(scan_surf.xyz), cfg=cfg)
+                                pose.apply(scan_surf.xyz), cfg=cfg,
+                                corner_groups=corner_groups,
+                                surf_groups=surf_groups)
 
     for _ in range(cfg.outer_rounds):
         if cache is not None:
@@ -300,10 +338,14 @@ def match_scan2map_deskew(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                           scan_corner: PointBatch, scan_surf: PointBatch,
                           pose0: Pose, velocity0: Array, gravity: Array,
                           corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
-                          cfg: MappingConfig) -> MappingResult:
+                          cfg: MappingConfig,
+                          corner_groups=None, surf_groups=None
+                          ) -> MappingResult:
     return match_scan2map_deskew_core(corner_map, surf_map, scan_corner,
                                       scan_surf, pose0, velocity0, gravity,
-                                      corner_dk, surf_dk, cfg)
+                                      corner_dk, surf_dk, cfg,
+                                      corner_groups=corner_groups,
+                                      surf_groups=surf_groups)
 
 
 def match_scan2map_deskew_core(corner_map, surf_map,
@@ -313,7 +355,9 @@ def match_scan2map_deskew_core(corner_map, surf_map,
                                surf_dk: icp.DeskewTerms,
                                cfg: MappingConfig,
                                query_fn=None, query2_fn=None,
-                               query_pair_fn=None) -> MappingResult:
+                               query_pair_fn=None,
+                               corner_groups=None, surf_groups=None
+                               ) -> MappingResult:
     """Tightly-coupled scan-to-map GN over [pose, velocity] with per-point
     IMU deskew terms (mapping_scan_matcher.cc:109-246 initialized branch).
 
@@ -347,7 +391,8 @@ def match_scan2map_deskew_core(corner_map, surf_map,
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
-            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg)
+            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg,
+            corner_groups=corner_groups, surf_groups=surf_groups)
 
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)
@@ -391,11 +436,15 @@ def match_scan2map_tight(corner_map: VoxelHashMap, surf_map: VoxelHashMap,
                          pose0: Pose, velocity0: Array, gravity: Array,
                          corner_dk: icp.DeskewTerms, surf_dk: icp.DeskewTerms,
                          pre_pair, prev_state, cfg: MappingConfig,
-                         imu_weight: float = 1.0) -> MappingResult:
+                         imu_weight: float = 1.0,
+                         corner_groups=None, surf_groups=None
+                         ) -> MappingResult:
     return match_scan2map_tight_core(corner_map, surf_map, scan_corner,
                                      scan_surf, pose0, velocity0, gravity,
                                      corner_dk, surf_dk, pre_pair, prev_state,
-                                     cfg, imu_weight)
+                                     cfg, imu_weight,
+                                     corner_groups=corner_groups,
+                                     surf_groups=surf_groups)
 
 
 def match_scan2map_tight_core(corner_map, surf_map,
@@ -406,7 +455,9 @@ def match_scan2map_tight_core(corner_map, surf_map,
                               pre_pair, prev_state, cfg: MappingConfig,
                               imu_weight: float = 1.0,
                               query_fn=None, query2_fn=None,
-                              query_pair_fn=None) -> MappingResult:
+                              query_pair_fn=None,
+                              corner_groups=None, surf_groups=None
+                              ) -> MappingResult:
     """Tightly-coupled scan-to-map GN with the IMU preintegration factor IN
     the solve and velocity FREE.
 
@@ -448,7 +499,8 @@ def match_scan2map_tight_core(corner_map, surf_map,
         cache = _CandidateCache(
             corner_map, surf_map, scan_corner, scan_surf,
             deskewed_world(scan_corner, corner_dk, pose, vel),
-            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg)
+            deskewed_world(scan_surf, surf_dk, pose, vel), cfg=cfg,
+            corner_groups=corner_groups, surf_groups=surf_groups)
 
     for _ in range(cfg.outer_rounds):
         cw = deskewed_world(scan_corner, corner_dk, pose, vel)

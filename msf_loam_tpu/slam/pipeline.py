@@ -33,6 +33,7 @@ from msf_loam_tpu.imu import imu_factor as imu_factor_mod
 from msf_loam_tpu.imu import preintegration as preint_mod
 from msf_loam_tpu.imu.buffer import ImuBuffer
 from msf_loam_tpu.ops.voxel import (voxel_downsample_compact_idx,
+                                    voxel_downsample_grouped_idx,
                                     voxel_downsample_masked)
 from msf_loam_tpu.slam import mapping, odometry, voxel_map
 
@@ -59,6 +60,27 @@ def downsample_features(pb: PointBatch, leaf: float, capacity: int) -> PointBatc
         xyz=pb.xyz[idx], rel_time=pb.rel_time[idx],
         ring=pb.ring[idx], mask=valid,
     )
+
+
+def downsample_features_grouped(pb: PointBatch, leaf: float, capacity: int,
+                                key_world: Array, cell_size: float,
+                                group_budget: int):
+    """``downsample_features`` whose output is additionally GROUPED by map
+    octant base cell, enabling the two-level gather (voxel_map.
+    gather_candidates_planar_grouped). ``key_world`` gives each INPUT
+    point's world-frame position at the matcher's query transform (same
+    per-point math the candidate cache will apply to the compacted batch,
+    so group cells match gather cells bitwise). Costs the same single
+    sort as ``downsample_features`` — the grouping rides the sort key.
+
+    Returns ``(PointBatch, voxel_map.QueryGroups)``."""
+    capacity = min(capacity, pb.xyz.shape[0])
+    idx, valid, gid, rep_pos = voxel_downsample_grouped_idx(
+        pb.xyz, pb.mask, leaf, capacity, key_world, cell_size, group_budget)
+    return PointBatch(
+        xyz=pb.xyz[idx], rel_time=pb.rel_time[idx],
+        ring=pb.ring[idx], mask=valid,
+    ), voxel_map.QueryGroups(gid=gid, rep_pos=rep_pos)
 
 
 def pose_is_finite(pose: Pose):
@@ -138,11 +160,36 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                              Pose.identity(), pose_c2l)
     pose_odom = pose_odom.compose(step_pose)
 
-    corner_ds = downsample_features(scan.corner_less_sharp,
-                                    mc.line_resolution,
-                                    mc.corner_query_points)
-    surf_ds = downsample_features(scan.surf_less_flat,
-                                  mc.plane_resolution, mc.max_query_points)
+    guess = pose_o2m.compose(pose_odom)
+    grouped = (mapping_mod.use_grouped_gather(mc) and mc.reuse_candidates
+               and query_fn is None and query2_fn is None
+               and query_pair_fn is None)
+    if grouped:
+        # grouping keys = each point's world position at the matcher's
+        # query transform (post motion-deskew), so group base cells match
+        # the candidate cache's gather cells bitwise
+        def _key_world(pb: PointBatch) -> Array:
+            if oc.motion_deskew:
+                pb = deskew_mod.undistort_from_motion(
+                    pb, step_pose, cfg.features.scan_period)
+            return guess.apply(pb.xyz)
+
+        corner_ds, corner_groups = downsample_features_grouped(
+            scan.corner_less_sharp, mc.line_resolution,
+            mc.corner_query_points, _key_world(scan.corner_less_sharp),
+            mc.map_cell_size, mc.gather_groups)
+        surf_ds, surf_groups = downsample_features_grouped(
+            scan.surf_less_flat, mc.plane_resolution, mc.max_query_points,
+            _key_world(scan.surf_less_flat), mc.map_cell_size,
+            mc.gather_groups)
+    else:
+        corner_groups = surf_groups = None
+        corner_ds = downsample_features(scan.corner_less_sharp,
+                                        mc.line_resolution,
+                                        mc.corner_query_points)
+        surf_ds = downsample_features(scan.surf_less_flat,
+                                      mc.plane_resolution,
+                                      mc.max_query_points)
     if oc.motion_deskew:
         # constant-velocity reprojection to scan start, prior = the
         # in-frame scan-to-scan odometry step. Two properties matter
@@ -161,11 +208,11 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
         corner_ds = deskew_mod.undistort_from_motion(corner_ds, step_pose, dt)
         surf_ds = deskew_mod.undistort_from_motion(surf_ds, step_pose, dt)
 
-    guess = pose_o2m.compose(pose_odom)
     mres = mapping_mod.match_scan2map_core(
         corner_map, surf_map, corner_ds, surf_ds, guess, mc,
         query_fn=query_fn, query2_fn=query2_fn,
-        query_pair_fn=query_pair_fn)
+        query_pair_fn=query_pair_fn,
+        corner_groups=corner_groups, surf_groups=surf_groups)
     # watchdog: a non-finite solve (degenerate geometry) falls back to the
     # odometry guess instead of poisoning the map (the reference aborts on
     # CHECKs; a production pipeline must degrade instead — SURVEY.md §5)
@@ -239,16 +286,12 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                              Pose.identity(), pose_c2l)
     pose_odom = pose_odom.compose(step_pose)
 
-    corner_ds = downsample_features(scan.corner_less_sharp,
-                                    mc.line_resolution,
-                                    mc.corner_query_points)
-    surf_ds = downsample_features(scan.surf_less_flat,
-                                  mc.plane_resolution, mc.max_query_points)
-
     # IMU prediction of this frame's state from the previous mapped state.
     # Biases linearize the preintegration at the online estimate
     # (imu/bias_estimator.py) — rebuilt-from-raw-samples each frame, i.e.
     # repropagation at frame granularity (integration_base.cc:36-50).
+    # (Runs BEFORE the downsample since r5: the grouped two-level gather
+    # keys the query grouping on the IMU-deskewed world transform.)
     ba = jnp.zeros(3) if ba is None else ba
     bg = jnp.zeros(3) if bg is None else bg
     pre_pair = preint_mod.preintegrate(
@@ -257,10 +300,44 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
         pose=Pose(prev_p, prev_q), v=prev_v, ba=ba, bg=bg)
     pred = imu_factor_mod.imu_presolve(pre_pair, prev_state, gravity,
                                        info_scale=ic.sqrt_info_scale)
-
-    # per-point deskew terms over the scan window
     pre_scan = preint_mod.preintegrate(
         scan_dts, scan_accs, scan_gyrs, scan_valid, ba, bg, ic)
+
+    grouped = (mapping.use_grouped_gather(mc) and mc.reuse_candidates
+               and query_fn is None and query2_fn is None
+               and query_pair_fn is None)
+    if grouped:
+        # grouping keys = deskewed world positions at the IMU-predicted
+        # state — the same per-point transform the tight/deskew candidate
+        # caches apply to the compacted batch (mapping.deskewed_world)
+        from msf_loam_tpu.core.se3 import quat_rotate, quat_to_matrix
+
+        def _key_world(pb: PointBatch) -> Array:
+            dk = deskew_mod.deskew_terms(pre_scan, pb.rel_time, gravity)
+            R = quat_to_matrix(pred.pose.q)
+            local = quat_rotate(dk.delta_q, pb.xyz) + dk.delta_p
+            dt = dk.dt[:, None]
+            return (local @ R.T + pred.v[None, :] * dt
+                    - 0.5 * gravity[None, :] * dt * dt + pred.pose.t)
+
+        corner_ds, corner_groups = downsample_features_grouped(
+            scan.corner_less_sharp, mc.line_resolution,
+            mc.corner_query_points, _key_world(scan.corner_less_sharp),
+            mc.map_cell_size, mc.gather_groups)
+        surf_ds, surf_groups = downsample_features_grouped(
+            scan.surf_less_flat, mc.plane_resolution, mc.max_query_points,
+            _key_world(scan.surf_less_flat), mc.map_cell_size,
+            mc.gather_groups)
+    else:
+        corner_groups = surf_groups = None
+        corner_ds = downsample_features(scan.corner_less_sharp,
+                                        mc.line_resolution,
+                                        mc.corner_query_points)
+        surf_ds = downsample_features(scan.surf_less_flat,
+                                      mc.plane_resolution,
+                                      mc.max_query_points)
+
+    # per-point deskew terms for the compacted query batches
     corner_dk = deskew_mod.deskew_terms(pre_scan, corner_ds.rel_time, gravity)
     surf_dk = deskew_mod.deskew_terms(pre_scan, surf_ds.rel_time, gravity)
 
@@ -270,13 +347,15 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
             gravity, corner_dk, surf_dk, pre_pair, prev_state, mc,
             imu_weight=ic.imu_factor_weight,
             query_fn=query_fn, query2_fn=query2_fn,
-            query_pair_fn=query_pair_fn)
+            query_pair_fn=query_pair_fn,
+            corner_groups=corner_groups, surf_groups=surf_groups)
     else:
         mres = mapping.match_scan2map_deskew_core(
             corner_map, surf_map, corner_ds, surf_ds, pred.pose, pred.v,
             gravity, corner_dk, surf_dk, mc,
             query_fn=query_fn, query2_fn=query2_fn,
-            query_pair_fn=query_pair_fn)
+            query_pair_fn=query_pair_fn,
+            corner_groups=corner_groups, surf_groups=surf_groups)
     guess = pose_o2m.compose(pose_odom)
     # watchdog (SURVEY.md §5): a non-finite tight/deskew solve — NaN IMU
     # sample, degenerate map geometry — must not leak into the pose chain

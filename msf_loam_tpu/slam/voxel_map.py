@@ -344,6 +344,60 @@ def gather_candidates_planar(vmap: VoxelHashMap, query: Array,
     return cand.reshape(3, q.shape[0], 8 * P)
 
 
+class QueryGroups(NamedTuple):
+    """Base-cell grouping of a query batch (ops.voxel.
+    voxel_downsample_grouped_idx): ascending per-query group ids and the
+    first query row of each group. Group ``len(rep_pos) - 1`` is the
+    overflow/invalid sentinel."""
+    gid: Array       # (Q,) int32
+    rep_pos: Array   # (G,) int32
+
+
+def gather_candidates_planar_grouped(vmap: VoxelHashMap, query: Array,
+                                     gid: Array, rep_pos: Array) -> Array:
+    """Two-level octant gather over base-cell GROUPED queries — same
+    output contract as ``gather_candidates_planar`` (planar (3, Q, 8P)
+    candidates, EMPTY_COORD for invalid), at ~1/4 the HBM row fetches.
+
+    Queries sharing an octant base cell share all 8 hash slots, so the
+    slab gather runs once per GROUP (G*8 rows instead of Q*8 — measured
+    0.10 ms vs 0.41 ms net at Q=4096/G=1024 on v5e,
+    scripts/bench_gather_r5.py) and candidates re-expand per query with
+    a Q-row gather from the compact (G, 24P) buffer (measured 0.03 ms
+    net: row-gather cost scales with ROW COUNT, and Q rows from a small
+    resident operand are cheap — this is what makes the two-level form
+    win where the r4 XLA dedupe variants lost). An f32 one-hot MXU
+    expansion measured even cheaper (fully overlapped) but is only
+    bit-exact at Precision.HIGHEST; the gather is exact by construction.
+
+    Requires queries grouped by base cell (ops.voxel.
+    voxel_downsample_grouped_idx): ``gid (Q,)`` ascending group ids,
+    ``rep_pos (G,)`` the first query row of each group. Group
+    ``G - 1`` is the overflow/invalid sentinel — its candidates are
+    forced to EMPTY_COORD, so over-budget groups degrade to dropped
+    candidates rather than aliased ones (same philosophy as slab
+    overflow on insert). Bit-identical to the one-level gather for every
+    query whose group rank is below ``G - 1``
+    (tests/test_voxel_map.py::test_grouped_gather_bit_identical).
+
+    Replaces the same reference loop as ``gather_candidates``
+    (hybrid_grid.cc:470-501 surround lookup per point).
+    """
+    H, P = vmap.table_size, vmap.slab_capacity
+    Q = query.shape[0]
+    G = rep_pos.shape[0]
+    q = query.astype(jnp.float32)
+    rep_w = q[jnp.clip(rep_pos, 0, Q - 1)]                       # (G, 3)
+    ncells = neighbor_cells8(rep_w, vmap.cell_size)              # (G, 8, 3)
+    slots = _hash_cells(ncells, H)                               # (G, 8)
+    grp = vmap.points[slots]                                     # (G,8,P,3)
+    # planar within the group row: (G, 3, 8P) -> flatten to (G, 3*8P)
+    grp_rows = jnp.transpose(grp, (0, 3, 1, 2)).reshape(G, 3 * 8 * P)
+    grp_rows = grp_rows.at[G - 1, :].set(EMPTY_COORD)            # sentinel
+    cand = grp_rows[jnp.clip(gid, 0, G - 1)]                     # (Q, 3*8P)
+    return jnp.transpose(cand.reshape(Q, 3, 8 * P), (1, 0, 2))
+
+
 def _two_level_slots(slots_flat: Array, table_size: int, u_max: int
                      ) -> Tuple[Array, Array]:
     """Dedupe a flat slot-id vector for the two-level gather.

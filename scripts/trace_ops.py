@@ -36,7 +36,9 @@ def main():
 
     fcfg = FeatureConfig(max_points_per_ring=2048, max_less_flat=8192)
     mcfg = MappingConfig(map_table_size=1 << 15, map_cell_capacity=32,
-                         max_query_points=4096)
+                         max_query_points=4096,
+                         max_corner_query_points=1024 if N_RINGS <= 32
+                         else 2048)
     ocfg = OdometryConfig()
     world = synthetic.World.corridor(seed=0, size=14.0)
     xyz, ring = synthetic.simulate_scan(world, np.zeros(3), np.eye(3),
@@ -67,6 +69,8 @@ def main():
     elif which == "frame":
         # the bench.py frame_step verbatim: feat + odo + 2x downsample +
         # m2m + 2x insert, map state threaded through the scan
+        # (r5: grouped two-level gather, like bench run_single)
+        from msf_loam_tpu.slam.pipeline import downsample_features_grouped
         ocfg_f = ocfg
 
         def body(carry, _):
@@ -74,14 +78,29 @@ def main():
             feats = feat_mod.extract_features(img, jnp.float32(0.0), fcfg)
             odo = odometry.match_scan2scan(prev_feats, feats, pose_c2l, ocfg_f)
             pose_w = pose_w.compose(odo.pose_curr2last)
-            corner_ds = downsample_features(feats.corner_less_sharp,
-                                            mcfg.line_resolution,
-                                            mcfg.max_query_points)
-            surf_ds = downsample_features(feats.surf_less_flat,
-                                          mcfg.plane_resolution,
-                                          mcfg.max_query_points)
+            if mapping.use_grouped_gather(mcfg):
+                corner_ds, corner_groups = downsample_features_grouped(
+                    feats.corner_less_sharp, mcfg.line_resolution,
+                    mcfg.corner_query_points,
+                    pose_w.apply(feats.corner_less_sharp.xyz),
+                    mcfg.map_cell_size, mcfg.gather_groups)
+                surf_ds, surf_groups = downsample_features_grouped(
+                    feats.surf_less_flat, mcfg.plane_resolution,
+                    mcfg.max_query_points,
+                    pose_w.apply(feats.surf_less_flat.xyz),
+                    mcfg.map_cell_size, mcfg.gather_groups)
+            else:
+                corner_groups = surf_groups = None
+                corner_ds = downsample_features(feats.corner_less_sharp,
+                                                mcfg.line_resolution,
+                                                mcfg.corner_query_points)
+                surf_ds = downsample_features(feats.surf_less_flat,
+                                              mcfg.plane_resolution,
+                                              mcfg.max_query_points)
             mres = mapping.match_scan2map(cmap, smap, corner_ds, surf_ds,
-                                          pose_w, mcfg)
+                                          pose_w, mcfg,
+                                          corner_groups=corner_groups,
+                                          surf_groups=surf_groups)
             cw = corner_ds.transform(mres.pose)
             sw = surf_ds.transform(mres.pose)
             cmap = voxel_map.insert(cmap, cw.xyz, cw.mask)

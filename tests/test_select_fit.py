@@ -254,3 +254,74 @@ def test_matcher_two_level_gather_matches_one_level():
                                   np.asarray(res_one.pose.t))
     np.testing.assert_array_equal(np.asarray(res_two.pose.q),
                                   np.asarray(res_one.pose.q))
+
+
+def test_matcher_grouped_gather_matches_one_level():
+    """fused matcher fed grouped queries (gather_grouped on) vs the same
+    queries through the one-level gather: bit-identical candidates below
+    the group budget, so recovered poses must agree exactly."""
+    import dataclasses
+
+    from msf_loam_tpu.config import MappingConfig
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose, quat_exp
+    from msf_loam_tpu.slam.mapping import match_scan2map_core
+    from msf_loam_tpu.slam.pipeline import downsample_features_grouped
+    from msf_loam_tpu.slam.voxel_map import create_map, insert
+
+    rng = np.random.default_rng(9)
+    npts = 2000
+    floor = np.stack([rng.uniform(-10, 10, npts), rng.uniform(-10, 10, npts),
+                      np.zeros(npts)], -1)
+    wall = np.stack([rng.uniform(-10, 10, npts), np.full(npts, 5.0),
+                     rng.uniform(0, 4, npts)], -1)
+    col = np.stack([np.full(200, 2.0), np.full(200, 2.0),
+                    np.linspace(0, 4, 200)], -1)
+    surf_pts = np.concatenate([floor, wall]).astype(np.float32)
+    corner_pts = np.concatenate([col, col + [1.5, -2.0, 0.0]]).astype(
+        np.float32)
+
+    cfg = MappingConfig(map_table_size=1 << 12, map_cell_capacity=16,
+                        max_query_points=512, fused_select="on",
+                        gather_groups=256)
+    cmap = create_map(cfg.map_table_size, cfg.map_cell_capacity,
+                      cfg.map_cell_size, cfg.line_resolution)
+    smap = create_map(cfg.map_table_size, cfg.map_cell_capacity,
+                      cfg.map_cell_size, cfg.plane_resolution)
+    cmap = insert(cmap, jnp.asarray(corner_pts),
+                  jnp.ones(len(corner_pts), bool))
+    smap = insert(smap, jnp.asarray(surf_pts), jnp.ones(len(surf_pts), bool))
+
+    true_pose = Pose(t=jnp.asarray([0.1, -0.05, 0.02], jnp.float32),
+                     q=quat_exp(jnp.asarray([0.0, 0.0, 0.02], jnp.float32)))
+    inv = true_pose.inverse()
+    p0 = Pose.identity()
+
+    def mk_grouped(pts, n, q, leaf):
+        sel = pts[rng.choice(len(pts), n, replace=False)]
+        xyz = jnp.pad(inv.apply(jnp.asarray(sel)), ((0, q - n), (0, 0)))
+        mask = jnp.pad(jnp.ones(n, bool), (0, q - n))
+        pb = PointBatch(xyz=xyz, mask=mask,
+                        rel_time=jnp.zeros(q, jnp.float32),
+                        ring=jnp.zeros(q, jnp.int32))
+        # grouping key = the matcher's query transform at the prior pose
+        return downsample_features_grouped(
+            pb, leaf, q, p0.apply(pb.xyz), cfg.map_cell_size,
+            cfg.gather_groups)
+
+    scan_c, grp_c = mk_grouped(corner_pts, 300, 512, cfg.line_resolution)
+    scan_s, grp_s = mk_grouped(surf_pts, 512, 512, cfg.plane_resolution)
+
+    res_one = match_scan2map_core(
+        cmap, smap, scan_c, scan_s, p0,
+        dataclasses.replace(cfg, gather_grouped="off"))
+    res_grp = match_scan2map_core(
+        cmap, smap, scan_c, scan_s, p0,
+        dataclasses.replace(cfg, gather_grouped="on"),
+        corner_groups=grp_c, surf_groups=grp_s)
+
+    assert bool(res_one.ok) and bool(res_grp.ok)
+    np.testing.assert_array_equal(np.asarray(res_grp.pose.t),
+                                  np.asarray(res_one.pose.t))
+    np.testing.assert_array_equal(np.asarray(res_grp.pose.q),
+                                  np.asarray(res_one.pose.q))

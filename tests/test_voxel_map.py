@@ -287,3 +287,92 @@ def test_gather_planar_2l_overflow_drops_not_aliases():
     assert dropped.any()          # the tiny budget must actually overflow
     same = (two == one).all(axis=0)
     assert np.all(same | dropped[None, ...].repeat(3, 0).all(axis=0) | dropped)
+
+
+def test_grouped_gather_bit_identical():
+    """Grouped two-level gather == one-level planar gather (bit-exact) for
+    every valid query whose group fits the budget; overflow/invalid
+    queries see only the EMPTY_COORD sentinel."""
+    import numpy as np
+
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose, quat_exp
+    from msf_loam_tpu.slam.pipeline import downsample_features_grouped
+    from msf_loam_tpu.slam.voxel_map import (EMPTY_COORD, create_map,
+                                             gather_candidates_planar,
+                                             gather_candidates_planar_grouped,
+                                             insert)
+
+    rng = np.random.default_rng(7)
+    # clustered points (scan-like): grouped gather targets spatial locality
+    centers = rng.uniform(-20, 20, size=(30, 3)).astype(np.float32)
+    pts = (centers[rng.integers(0, 30, 12000)]
+           + rng.normal(0, 1.0, (12000, 3))).astype(np.float32)
+    m = create_map(1 << 13, 16, 2.0, 0.4)
+    m = insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+
+    n = 6000
+    qpts = (centers[rng.integers(0, 30, n)]
+            + rng.normal(0, 1.0, (n, 3))).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    pb = PointBatch(xyz=jnp.asarray(qpts), rel_time=jnp.zeros(n),
+                    ring=jnp.zeros(n, jnp.int32), mask=jnp.asarray(mask))
+    pose = Pose(t=jnp.asarray([0.3, -0.2, 0.1], jnp.float32),
+                q=quat_exp(jnp.asarray([0.02, 0.0, 0.05], jnp.float32)))
+    G = 1024
+    ds, groups = downsample_features_grouped(
+        pb, 0.4, 2048, pose.apply(pb.xyz), 2.0, G)
+    gid = np.asarray(groups.gid)
+    val = np.asarray(ds.mask)
+    assert (np.diff(gid[val]) >= 0).all()      # grouped order
+
+    qw = pose.apply(ds.xyz)
+    one = np.asarray(gather_candidates_planar(m, qw, ds.mask))
+    two = np.asarray(
+        gather_candidates_planar_grouped(m, qw, groups.gid, groups.rep_pos))
+    ok_rows = val & (gid < G - 1)
+    assert ok_rows.sum() > 1000
+    np.testing.assert_array_equal(two[:, ok_rows, :], one[:, ok_rows, :])
+    drop_rows = ~ok_rows
+    if drop_rows.any():
+        assert (two[:, drop_rows, :] >= EMPTY_COORD * 0.5).all()
+
+
+def test_grouped_gather_overflow_drops_not_aliases():
+    """A tiny group budget must drop candidates (sentinel), never alias
+    another group's slabs."""
+    import numpy as np
+
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.slam.pipeline import downsample_features_grouped
+    from msf_loam_tpu.slam.voxel_map import (EMPTY_COORD, create_map,
+                                             gather_candidates_planar,
+                                             gather_candidates_planar_grouped,
+                                             insert)
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-30, 30, size=(8000, 3)).astype(np.float32)
+    m = create_map(1 << 12, 8, 2.0, 0.4)
+    m = insert(m, jnp.asarray(pts), jnp.ones(len(pts), bool))
+
+    n = 4096
+    qpts = rng.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+    pb = PointBatch(xyz=jnp.asarray(qpts), rel_time=jnp.zeros(n),
+                    ring=jnp.zeros(n, jnp.int32), mask=jnp.ones(n, bool))
+    pose = Pose.identity()
+    G = 64                                     # deliberately tiny
+    ds, groups = downsample_features_grouped(
+        pb, 0.4, 1024, pose.apply(pb.xyz), 2.0, G)
+    gid = np.asarray(groups.gid)
+    val = np.asarray(ds.mask)
+    assert (val & (gid == G - 1)).any()        # budget actually overflows
+
+    qw = pose.apply(ds.xyz)
+    one = np.asarray(gather_candidates_planar(m, qw, ds.mask))
+    two = np.asarray(
+        gather_candidates_planar_grouped(m, qw, groups.gid, groups.rep_pos))
+    dropped = (two[0] >= EMPTY_COORD * 0.5) & (two[1] >= EMPTY_COORD * 0.5) \
+        & (two[2] >= EMPTY_COORD * 0.5)
+    same = (two == one).all(axis=0)
+    assert np.all(same | dropped)
