@@ -69,7 +69,7 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
     def local_min(d2c, ch):
         v = jnp.min(d2c, axis=1, keepdims=True)
         li = jnp.min(jnp.where(d2c <= v, iota, B), axis=1, keepdims=True)
-        return v, li + ch * B
+        return v, li + ch * B, li
 
     # phase A: distances + global nearest (+ per-bin candidates when
     # NCH == K)
@@ -81,10 +81,17 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
         dz = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
         d2c = dx * dx + dy * dy + dz * dz
         d2_scratch[:, ch * B:(ch + 1) * B] = d2c
-        v, gi = local_min(d2c, ch)
+        v, gi, li = local_min(d2c, ch)
         if K:
             cand_ref[:, ch:ch + 1] = v
             cand_ref[:, K + ch:K + ch + 1] = gi.astype(jnp.float32)
+            # ring of the per-bin argmin (exact lane select at li) — saves
+            # the consumer's 24k-element ref.ring[cand_idx] gather
+            # (~174 us/round at 64-ring, xprof r5)
+            rr = jnp.min(jnp.where(
+                iota == li, rring_ref[0:1, ch * B:(ch + 1) * B], _INF),
+                axis=1, keepdims=True)
+            cand_ref[:, 2 * K + ch:2 * K + ch + 1] = rr
         # strict < keeps the earlier chunk on ties == global first-argmin
         upd = v < a_d2
         a_d2 = jnp.where(upd, v, a_d2)
@@ -106,13 +113,14 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
         dr = jnp.abs(ring_c - ring_a)
         d2w = jnp.where((dr > 0.0) & (dr <= nearby),
                         d2_scratch[:, ch * B:(ch + 1) * B], _INF)
-        v, gi = local_min(d2w, ch)
+        v, gi, _ = local_min(d2w, ch)
         upd = v < c_d2
         c_d2 = jnp.where(upd, v, c_d2)
         c_idx = jnp.where(upd, gi, c_idx)
 
     a_ref[:, 0:1] = a_d2
     a_ref[:, 1:2] = a_idx.astype(jnp.float32)
+    a_ref[:, 2:3] = ring_a
     c_ref[:, 0:1] = c_d2
     c_ref[:, 1:2] = c_idx.astype(jnp.float32)
 
@@ -120,10 +128,12 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
 class OdoCorr(NamedTuple):
     a_d2: Array      # (N,)
     a_idx: Array     # (N,) int32
+    a_ring: Array    # (N,) int32 ring of the nearest neighbor
     c_d2: Array      # (N,) nearest different-nearby-ring
     c_idx: Array     # (N,) int32
     cand_d2: Array   # (N, K) per-bin minima (K=0 -> (N, 0))
     cand_idx: Array  # (N, K) int32
+    cand_ring: Array  # (N, K) int32 ring per bin candidate
 
 
 @functools.partial(jax.jit,
@@ -172,15 +182,15 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
             pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec((nb, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 2 * kc), lambda i: (i, 0),
+            pl.BlockSpec((nb, 3 * kc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((npad, 3), jnp.float32),
             jax.ShapeDtypeStruct((npad, 2), jnp.float32),
-            jax.ShapeDtypeStruct((npad, 2), jnp.float32),
-            jax.ShapeDtypeStruct((npad, 2 * kc), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 3 * kc), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((nb, M), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -190,6 +200,8 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
     )(q, rx, ry, rz, rring)
     return OdoCorr(
         a_d2=a[:N, 0], a_idx=a[:N, 1].astype(jnp.int32),
+        a_ring=a[:N, 2].astype(jnp.int32),
         c_d2=c[:N, 0], c_idx=c[:N, 1].astype(jnp.int32),
         cand_d2=cand[:N, :K], cand_idx=cand[:N, K:2 * K].astype(jnp.int32),
+        cand_ring=cand[:N, 2 * K:3 * K].astype(jnp.int32),
     )

@@ -146,12 +146,38 @@ def _select_fit_kernel(scal_ref, q_ref, x_ref, y_ref, z_ref,
                        d2k_ref, cen_ref, nrm_ref, val_ref, *,
                        k: int, mode: str, min_count: int, min_wide: int,
                        eig_ratio: float, tol: float, cond_frac: float):
+    _select_fit_core(scal_ref, q_ref, x_ref[:], y_ref[:], z_ref[:],
+                     d2k_ref, cen_ref, nrm_ref, val_ref, k=k, mode=mode,
+                     min_count=min_count, min_wide=min_wide,
+                     eig_ratio=eig_ratio, tol=tol, cond_frac=cond_frac)
+
+
+def _select_fit_kernel_rows(scal_ref, q_ref, xyz_ref,
+                            d2k_ref, cen_ref, nrm_ref, val_ref, *,
+                            k: int, mode: str, min_count: int, min_wide: int,
+                            eig_ratio: float, tol: float, cond_frac: float):
+    """Row-layout variant: candidates arrive as (Rb, 3C) rows with planar
+    [x*C | y*C | z*C] packing (the grouped two-level gather's native
+    output) — three 128-aligned static lane slices replace the XLA-side
+    (Q,3,C)->(3,Q,C) transpose (~160 us/frame at 64-ring, xprof r5)."""
+    C = xyz_ref.shape[1] // 3
+    _select_fit_core(scal_ref, q_ref, xyz_ref[:, 0:C], xyz_ref[:, C:2 * C],
+                     xyz_ref[:, 2 * C:3 * C],
+                     d2k_ref, cen_ref, nrm_ref, val_ref, k=k, mode=mode,
+                     min_count=min_count, min_wide=min_wide,
+                     eig_ratio=eig_ratio, tol=tol, cond_frac=cond_frac)
+
+
+def _select_fit_core(scal_ref, q_ref, x, y, z,
+                     d2k_ref, cen_ref, nrm_ref, val_ref, *,
+                     k: int, mode: str, min_count: int, min_wide: int,
+                     eig_ratio: float, tol: float, cond_frac: float):
     r2s = scal_ref[0, 0]
     r2w = scal_ref[0, 1]
     qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
-    dx = x_ref[:] - qx                                  # (Rb, C)
-    dy = y_ref[:] - qy
-    dz = z_ref[:] - qz
+    dx = x - qx                                         # (Rb, C)
+    dy = y - qy
+    dz = z - qz
     d2 = dx * dx + dy * dy + dz * dz
     d2s = jnp.where(d2 <= r2s, d2, _INF)
 
@@ -237,33 +263,49 @@ def select_fit_pallas(cand_planar: Array, query: Array, r2_strict: Array,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _, N, C = cand_planar.shape
+    rows_layout = cand_planar.ndim == 2        # (N, 3C) planar-packed rows
+    if rows_layout:
+        N, C3 = cand_planar.shape
+        C = C3 // 3
+    else:
+        _, N, C = cand_planar.shape
     pad = (-N) % rb
     q = jnp.pad(query.astype(jnp.float32), ((0, pad), (0, 0)))
-    x = jnp.pad(cand_planar[0], ((0, pad), (0, 0)), constant_values=_BIG)
-    y = jnp.pad(cand_planar[1], ((0, pad), (0, 0)), constant_values=_BIG)
-    z = jnp.pad(cand_planar[2], ((0, pad), (0, 0)), constant_values=_BIG)
+    if rows_layout:
+        xyz = jnp.pad(cand_planar, ((0, pad), (0, 0)), constant_values=_BIG)
+    else:
+        x = jnp.pad(cand_planar[0], ((0, pad), (0, 0)), constant_values=_BIG)
+        y = jnp.pad(cand_planar[1], ((0, pad), (0, 0)), constant_values=_BIG)
+        z = jnp.pad(cand_planar[2], ((0, pad), (0, 0)), constant_values=_BIG)
     npad = N + pad
     scal = jnp.stack([jnp.asarray(r2_strict, jnp.float32),
                       jnp.asarray(r2_wide, jnp.float32)]).reshape(1, 2)
 
+    if rows_layout:
+        kern = functools.partial(_select_fit_kernel_rows, k=k, mode=mode,
+                                 min_count=min_count, min_wide=min_wide,
+                                 eig_ratio=eig_ratio, tol=tol,
+                                 cond_frac=cond_frac)
+        cand_specs = [pl.BlockSpec((rb, 3 * C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+        cand_ops = (xyz,)
+    else:
+        kern = functools.partial(_select_fit_kernel, k=k, mode=mode,
+                                 min_count=min_count, min_wide=min_wide,
+                                 eig_ratio=eig_ratio, tol=tol,
+                                 cond_frac=cond_frac)
+        cand_specs = [pl.BlockSpec((rb, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 3
+        cand_ops = (x, y, z)
+
     d2k, cen, nrm, val = pl.pallas_call(
-        functools.partial(_select_fit_kernel, k=k, mode=mode,
-                          min_count=min_count, min_wide=min_wide,
-                          eig_ratio=eig_ratio, tol=tol,
-                          cond_frac=cond_frac),
+        kern,
         grid=(npad // rb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + cand_specs,
         out_specs=[
             pl.BlockSpec((rb, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -284,6 +326,6 @@ def select_fit_pallas(cand_planar: Array, query: Array, r2_strict: Array,
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(scal, q, x, y, z)
+    )(scal, q, *cand_ops)
     return SelectFit(d2=d2k[:N], center=cen[:N], normal=nrm[:N],
                      valid=val[:N, 0] > 0.5)

@@ -207,10 +207,10 @@ def _fused_gather_candidates_planar_grouped(vmap_state: VoxelHashMap,
                                             gid: Array, rep_pos: Array
                                             ) -> Array:
     """Grouped two-level octant gather over the fused table — the batched
-    analog of voxel_map.gather_candidates_planar_grouped: one slab fetch
+    analog of voxel_map.gather_candidates_rows_grouped: one slab fetch
     per (lane, base-cell group) instead of per query, re-expanded per
-    query from the compact per-lane buffer. Same output contract as
-    _fused_gather_candidates_planar ((3, B*Q, 8P) planar candidates)."""
+    query from the compact per-lane buffer, in the select kernel's
+    planar-packed ROWS layout (B*Q, 3*8P)."""
     B, Q, _ = query.shape
     G = rep_pos.shape[1]
     P = vmap_state.slab_capacity
@@ -220,12 +220,15 @@ def _fused_gather_candidates_planar_grouped(vmap_state: VoxelHashMap,
     slots = _hash_cells(ncells, H)                              # (BG, 8)
     offset = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * H, G)
     slots = slots + offset[:, None]
-    grp = vmap_state.points[slots]                              # (BG,8,P,3)
+    # row gather from the bitcast flat view (no full-table relayout copy),
+    # output in the select kernel's planar-packed ROWS layout (BQ, 3*8P)
+    grp = vmap_state.points.reshape(-1, 3 * P)[slots]           # (BG,8,3P)
+    grp = grp.reshape(B * G, 8, P, 3)
     grp_rows = jnp.transpose(grp, (0, 3, 1, 2)).reshape(B, G, 3 * 8 * P)
     grp_rows = grp_rows.at[:, G - 1, :].set(voxel_map.EMPTY_COORD)
     cand = jnp.take_along_axis(
         grp_rows, jnp.clip(gid, 0, G - 1)[..., None], axis=1)   # (B,Q,24P)
-    return jnp.transpose(cand.reshape(B * Q, 3, 8 * P), (1, 0, 2))
+    return cand.reshape(B * Q, 3 * 8 * P)
 
 
 def _batched_fused_associate(candp_c, candp_s, cell_c, cell_s, corner_ds,

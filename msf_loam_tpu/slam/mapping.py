@@ -176,9 +176,11 @@ class _CandidateCache:
                        and corner_groups is not None
                        and surf_groups is not None)
             if grouped:
-                self.candp_c = voxel_map_mod.gather_candidates_planar_grouped(
+                # rows layout: the select kernel slices x/y/z in-register,
+                # skipping the (Q,3,C)->(3,Q,C) transpose (xprof r5)
+                self.candp_c = voxel_map_mod.gather_candidates_rows_grouped(
                     corner_map, cw0, corner_groups.gid, corner_groups.rep_pos)
-                self.candp_s = voxel_map_mod.gather_candidates_planar_grouped(
+                self.candp_s = voxel_map_mod.gather_candidates_rows_grouped(
                     surf_map, sw0, surf_groups.gid, surf_groups.rep_pos)
             else:
                 if cfg is not None and use_two_level_gather(cfg):

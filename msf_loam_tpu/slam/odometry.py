@@ -188,10 +188,11 @@ def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
                              K=K, nearby=cfg.nearby_scan)
         a_sel = oc.a_idx
         a_ok = (oc.a_d2 < cfg.dist_sq_threshold) & query.mask
-        ring_a = ref.ring[a_sel]
+        ring_a = oc.a_ring                 # kernel-emitted, no ref gather
         c_sel = oc.c_idx
         c_ok = oc.c_d2 < cfg.dist_sq_threshold
         cand_d2, cand_idx = oc.cand_d2, oc.cand_idx
+        ring_cand = oc.cand_ring           # kernel-emitted, no 24k gather
     else:
         d2 = _corr_d2(q_world, query.mask, ref)                  # (N, M)
         a_min = jnp.min(d2, axis=1)
@@ -220,7 +221,7 @@ def find_plane_correspondences_fit(query: PointBatch, ref: PointBatch,
         # reduction (recall ~0.95 at K=16; a missed candidate only narrows
         # a plane support by one point).
         cand_d2, cand_idx = jax.lax.approx_min_k(d2, K)          # (N, K)
-    ring_cand = ref.ring[cand_idx]
+        ring_cand = ref.ring[cand_idx]
     cand_ok = cand_d2 < cfg.dist_sq_threshold
     is_a = cand_idx == a_sel[:, None]
     same_c = (ring_cand == ring_a[:, None]) & ~is_a & cand_ok

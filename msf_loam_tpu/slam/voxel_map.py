@@ -353,11 +353,13 @@ class QueryGroups(NamedTuple):
     rep_pos: Array   # (G,) int32
 
 
-def gather_candidates_planar_grouped(vmap: VoxelHashMap, query: Array,
-                                     gid: Array, rep_pos: Array) -> Array:
-    """Two-level octant gather over base-cell GROUPED queries — same
-    output contract as ``gather_candidates_planar`` (planar (3, Q, 8P)
-    candidates, EMPTY_COORD for invalid), at ~1/4 the HBM row fetches.
+def gather_candidates_rows_grouped(vmap: VoxelHashMap, query: Array,
+                                   gid: Array, rep_pos: Array) -> Array:
+    """Two-level octant gather over base-cell GROUPED queries, in
+    planar-packed ROW layout (Q, 3*8P): row q = [x*8P | y*8P | z*8P],
+    EMPTY_COORD for invalid — the fused selection kernel's rows input
+    (ops.select_fit layout='rows'), at ~1/4 the HBM row fetches of the
+    one-level gather.
 
     Queries sharing an octant base cell share all 8 hash slots, so the
     slab gather runs once per GROUP (G*8 rows instead of Q*8 — measured
@@ -390,12 +392,26 @@ def gather_candidates_planar_grouped(vmap: VoxelHashMap, query: Array,
     rep_w = q[jnp.clip(rep_pos, 0, Q - 1)]                       # (G, 3)
     ncells = neighbor_cells8(rep_w, vmap.cell_size)              # (G, 8, 3)
     slots = _hash_cells(ncells, H)                               # (G, 8)
-    grp = vmap.points[slots]                                     # (G,8,P,3)
+    # gather whole slab ROWS from the bitcast (H, 3P) view — indexing the
+    # (H, P, 3) table directly makes XLA relayout-copy the full 12.6 MB
+    # table first (~53 us/frame/map, xprof r5); the flat view is a free
+    # bitcast and the row gather needs no relayout
+    grp = vmap.points.reshape(H, 3 * P)[slots]                   # (G,8,3P)
     # planar within the group row: (G, 3, 8P) -> flatten to (G, 3*8P)
+    grp = grp.reshape(G, 8, P, 3)
     grp_rows = jnp.transpose(grp, (0, 3, 1, 2)).reshape(G, 3 * 8 * P)
     grp_rows = grp_rows.at[G - 1, :].set(EMPTY_COORD)            # sentinel
-    cand = grp_rows[jnp.clip(gid, 0, G - 1)]                     # (Q, 3*8P)
-    return jnp.transpose(cand.reshape(Q, 3, 8 * P), (1, 0, 2))
+    return grp_rows[jnp.clip(gid, 0, G - 1)]                     # (Q, 3*8P)
+
+
+def gather_candidates_planar_grouped(vmap: VoxelHashMap, query: Array,
+                                     gid: Array, rep_pos: Array) -> Array:
+    """``gather_candidates_rows_grouped`` rearranged to the legacy planar
+    (3, Q, 8P) contract (tests / planar consumers; the fused select path
+    consumes the rows form directly to skip this transpose)."""
+    P = vmap.slab_capacity
+    cand = gather_candidates_rows_grouped(vmap, query, gid, rep_pos)
+    return jnp.transpose(cand.reshape(query.shape[0], 3, 8 * P), (1, 0, 2))
 
 
 def _two_level_slots(slots_flat: Array, table_size: int, u_max: int

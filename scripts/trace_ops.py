@@ -157,7 +157,7 @@ def main():
     total = sum(tot.values())
     print(f"== {which}: {total/1e3:.2f} ms device total over {N_ITERS} iters "
           f"({total/1e3/N_ITERS:.3f} ms/iter)")
-    for name, us in items[:35]:
+    for name, us in items[:120]:
         print(f"{us/N_ITERS:9.1f} us/iter  x{cnt[name]//N_ITERS:<4d} {name[:110]}")
 
 

@@ -62,6 +62,10 @@ def test_reductions_match_xla():
     got_idx = np.asarray(oc.cand_idx)
     real = np.asarray(oc.cand_d2) < 1e17
     np.testing.assert_array_equal(got_idx[real], want_idx[real])
+    # kernel-emitted rings == gathered rings at the kernel's own indices
+    np.testing.assert_array_equal(np.asarray(oc.a_ring), ring[a_sel])
+    np.testing.assert_array_equal(np.asarray(oc.cand_ring)[real],
+                                  ring[got_idx[real]])
 
 
 def test_match_scan2scan_fused_close_to_xla():
