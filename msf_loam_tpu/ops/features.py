@@ -61,6 +61,20 @@ def compute_curvature(xyz: Array, mask: Array, cfg: FeatureConfig) -> Tuple[Arra
     return curv, eligible
 
 
+def _prefix_sum_lanes(x: Array) -> Array:
+    """Exclusive-ish prefix sum along the last axis via log-depth shifted
+    adds. jnp.cumsum lowers to a reduce-window on TPU (~100 us for a
+    (64, 2048) int32 image — xprof r5); 11 shifted adds cost microseconds.
+    Returns the INCLUSIVE prefix sum (same as jnp.cumsum)."""
+    n = x.shape[-1]
+    d = 1
+    while d < n:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(d, 0)])[..., :n]
+        x = x + shifted
+        d *= 2
+    return x
+
+
 def assign_sectors(eligible: Array, n_valid: Array, cfg: FeatureConfig) -> Array:
     """Sector id per position: [margin, n-margin-1] split into equal sixths
     (msf_loam_node.cc:255-259). Returns (R, W) int32 in [0, S-1], with
@@ -199,7 +213,7 @@ def _pick_rounds(curv: Array, base_mask: Array, sector: Array, gap: Array,
     # exclusive prefix count of broken gaps: chain a..b unbroken iff
     # cb0[b] - cb0[a] == 0
     bad = (gap > cfg.neighbor_gap_sq).astype(jnp.int32)
-    cb0 = jnp.cumsum(bad, axis=1) - bad  # (R, W)
+    cb0 = _prefix_sum_lanes(bad) - bad  # (R, W)
 
     def round_fn(suppressed, _):
         avail = jnp.where(suppressed, -_BIG, score)  # (R, W)
@@ -272,7 +286,7 @@ def run_pick_rounds(curv: Array, pickable: Array, sector: Array, gap: Array,
         score_f = jnp.where(pickable & (curv < cfg.curvature_threshold),
                             -curv, -_BIG)
         bad = (gap > cfg.neighbor_gap_sq).astype(jnp.int32)
-        cb0 = jnp.cumsum(bad, axis=1) - bad
+        cb0 = _prefix_sum_lanes(bad) - bad
         return pick_rounds_pallas(
             score_c, score_f, sector, cb0,
             S=cfg.num_sectors, nsup=cfg.neighbor_suppress,

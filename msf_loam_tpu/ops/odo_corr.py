@@ -54,7 +54,8 @@ _INF = 3.0e38
 
 def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
                      a_ref, c_ref, cand_ref, d2_scratch, *,
-                     K: int, nearby: float, M: int, NCH: int):
+                     K: int, nearby: float, M: int, NCH: int,
+                     cache_d2: bool = True):
     """Chunked over M so VMEM temporaries stay (Nb, M/NCH) — a full
     (256, 8192) f32 tile chain blows the ~16 MB VMEM budget (the first
     draft SIGABRT'd the Mosaic compiler). Distances are computed once per
@@ -80,7 +81,8 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
         dy = ry_ref[0:1, ch * B:(ch + 1) * B] - qy
         dz = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
         d2c = dx * dx + dy * dy + dz * dz
-        d2_scratch[:, ch * B:(ch + 1) * B] = d2c
+        if cache_d2:
+            d2_scratch[:, ch * B:(ch + 1) * B] = d2c
         v, gi, li = local_min(d2c, ch)
         if K:
             cand_ref[:, ch:ch + 1] = v
@@ -111,8 +113,16 @@ def _odo_corr_kernel(q_ref, rx_ref, ry_ref, rz_ref, rring_ref,
     for ch in range(NCH):
         ring_c = rring_ref[0:1, ch * B:(ch + 1) * B]
         dr = jnp.abs(ring_c - ring_a)
-        d2w = jnp.where((dr > 0.0) & (dr <= nearby),
-                        d2_scratch[:, ch * B:(ch + 1) * B], _INF)
+        if cache_d2:
+            d2r = d2_scratch[:, ch * B:(ch + 1) * B]
+        else:
+            # recompute: trades 2 reads+1 write of the (Nb, M) scratch for
+            # 8 VPU ops — measured A/B via scripts/bench_odo_kernel.py
+            dxr = rx_ref[0:1, ch * B:(ch + 1) * B] - qx
+            dyr = ry_ref[0:1, ch * B:(ch + 1) * B] - qy
+            dzr = rz_ref[0:1, ch * B:(ch + 1) * B] - qz
+            d2r = dxr * dxr + dyr * dyr + dzr * dzr
+        d2w = jnp.where((dr > 0.0) & (dr <= nearby), d2r, _INF)
         v, gi, _ = local_min(d2w, ch)
         upd = v < c_d2
         c_d2 = jnp.where(upd, v, c_d2)
@@ -137,10 +147,12 @@ class OdoCorr(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("K", "nearby", "nb", "interpret"))
+                   static_argnames=("K", "nearby", "nb", "interpret",
+                                    "cache_d2"))
 def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
                     ref_ring: Array, *, K: int = 16, nearby: float = 2.5,
-                    nb: int = 64, interpret: bool = None) -> OdoCorr:
+                    nb: int = 256, interpret: bool = None,
+                    cache_d2: bool = True) -> OdoCorr:
     """Fused correspondence reductions for one query cloud against one
     reference cloud (see module docstring).
 
@@ -172,7 +184,7 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
     kc = max(K, 1)
     a, c, cand = pl.pallas_call(
         functools.partial(_odo_corr_kernel, K=K, nearby=nearby, M=M,
-                          NCH=K if K else 16),
+                          NCH=K if K else 16, cache_d2=cache_d2),
         grid=(npad // nb,),
         in_specs=[
             pl.BlockSpec((nb, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -192,7 +204,8 @@ def odo_corr_pallas(q_world: Array, ref_xyz: Array, ref_mask: Array,
             jax.ShapeDtypeStruct((npad, 2), jnp.float32),
             jax.ShapeDtypeStruct((npad, 3 * kc), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((nb, M), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nb, M if cache_d2 else 8),
+                                   jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
