@@ -112,19 +112,27 @@ def gauss_newton(build_blocks: Callable[[Pose, Array], Tuple[Sequence[ResidualBl
                  n_iters: int,
                  state_dim: int = 6,
                  damping: float = 1e-4,
-                 step_clip: float = 1.0) -> GNState:
+                 step_clip: float = 1.0,
+                 axis_name=None) -> GNState:
     """Fixed-iteration damped Gauss-Newton on (pose[, velocity]).
 
     ``build_blocks(pose, velocity)`` returns (blocks_list, weights_list)
     with everything already masked. Solve uses LM-style diagonal damping;
     fixed iteration count keeps the loop jit-compilable (the reference also
     runs a fixed budget: 6 Ceres iterations).
+
+    ``axis_name``: when running inside a shard_map with residual blocks
+    sharded over that mesh axis, the normal equations psum across shards
+    before the (replicated, identical) dense solve — the SURVEY §2.9
+    data-parallel Hessian-block reduction.
     """
 
     def step(carry, _):
         pose, vel = carry
         blocks, weights = build_blocks(pose, vel)
         H, g, cost, n_in = accumulate_normal_eqs(blocks, weights, state_dim)
+        if axis_name is not None:
+            H, g, cost, n_in = jax.lax.psum((H, g, cost, n_in), axis_name)
         H = H + damping * jnp.diag(jnp.maximum(jnp.diag(H), 1.0))
         dx = -_solve_psd(H, g)
         dx = jnp.clip(dx, -step_clip, step_clip)

@@ -58,13 +58,22 @@ def _map_hooks(mesh: Mesh, cfg: MsfLoamConfig):
     if not cfg.mapping.plane_fallback or \
             os.environ.get("MSF_SHARDED_PAIR", "1") == "0":
         query_pair_fn = None
-    return query_fn, query2_fn, query_pair_fn, insert_fn
+
+    from msf_loam_tpu.parallel import sharded_odometry
+
+    def odometry_fn(prev_scan, scan, pose_c2l, oc):
+        return sharded_odometry.sharded_match_scan2scan(
+            mesh, prev_scan, scan, pose_c2l, oc)
+
+    if os.environ.get("MSF_SHARDED_ODO", "1") == "0":
+        odometry_fn = None
+    return query_fn, query2_fn, query_pair_fn, insert_fn, odometry_fn
 
 
 @functools.lru_cache(maxsize=16)
 def _sharded_matcher(mesh: Mesh, cfg: MsfLoamConfig):
     """Jitted scan-to-map matcher whose kNN runs over the sharded map."""
-    query_fn, query2_fn, query_pair_fn, _ = _map_hooks(mesh, cfg)
+    query_fn, query2_fn, query_pair_fn, _, _ = _map_hooks(mesh, cfg)
 
     @jax.jit
     def run(cmap, smap, corner_ds, surf_ds, pose0):
@@ -86,7 +95,8 @@ def _sharded_frame_program(mesh: Mesh, cfg: MsfLoamConfig):
     collectives (VERDICT r3 weak #4)."""
     from msf_loam_tpu.slam.pipeline import _frame_core
 
-    query_fn, query2_fn, query_pair_fn, insert_fn = _map_hooks(mesh, cfg)
+    query_fn, query2_fn, query_pair_fn, insert_fn, odometry_fn = \
+        _map_hooks(mesh, cfg)
 
     @jax.jit
     def run(cmap, smap, prev_scan, scan, pose_c2l, pose_odom, pose_o2m,
@@ -94,7 +104,8 @@ def _sharded_frame_program(mesh: Mesh, cfg: MsfLoamConfig):
         return _frame_core(cfg, cmap, smap, prev_scan, scan,
                            pose_c2l, pose_odom, pose_o2m, is_first,
                            query_fn=query_fn, query2_fn=query2_fn,
-                           query_pair_fn=query_pair_fn, insert_fn=insert_fn)
+                           query_pair_fn=query_pair_fn, insert_fn=insert_fn,
+                           odometry_fn=odometry_fn)
 
     return run
 
@@ -108,7 +119,8 @@ def _sharded_lio_program(mesh: Mesh, cfg: MsfLoamConfig):
     runs replicated; only the map state is distributed."""
     from msf_loam_tpu.slam.pipeline import lio_frame_core
 
-    query_fn, query2_fn, query_pair_fn, insert_fn = _map_hooks(mesh, cfg)
+    query_fn, query2_fn, query_pair_fn, insert_fn, odometry_fn = \
+        _map_hooks(mesh, cfg)
 
     @jax.jit
     def run(cmap, smap, prev_scan, ring_image, scan_time,
@@ -123,7 +135,8 @@ def _sharded_lio_program(mesh: Mesh, cfg: MsfLoamConfig):
             scan_dts, scan_accs, scan_gyrs, scan_valid,
             prev_p, prev_q, prev_v, gravity,
             query_fn=query_fn, query2_fn=query2_fn,
-            query_pair_fn=query_pair_fn, insert_fn=insert_fn)
+            query_pair_fn=query_pair_fn, insert_fn=insert_fn,
+            odometry_fn=odometry_fn)
 
     return run
 

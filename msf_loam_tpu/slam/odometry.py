@@ -297,8 +297,32 @@ class OdometryResult(NamedTuple):
 def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
                     pose0: Pose, cfg: OdometryConfig) -> OdometryResult:
     """Estimate pose_curr2last by matching curr's sharp/flat features
-    against last's less-sharp/less-flat clouds.
+    against last's less-sharp/less-flat clouds (see match_clouds)."""
+    return match_clouds(scan_last.corner_less_sharp,
+                        scan_last.surf_less_flat,
+                        scan_curr.corner_sharp, scan_curr.surf_flat,
+                        pose0, cfg)
 
+
+def match_clouds(ref_corner: PointBatch, ref_surf: PointBatch,
+                 q_corner0: PointBatch, q_surf0: PointBatch,
+                 pose0: Pose, cfg: OdometryConfig,
+                 axis_name=None) -> OdometryResult:
+    """Scan-to-scan matcher core over explicit feature clouds.
+
+    ``axis_name``: when called inside a shard_map with the QUERY clouds
+    sharded over that mesh axis (reference clouds replicated), the
+    correspondence counts and GN normal equations psum across shards —
+    the point-axis data parallelism of SURVEY §2.9
+    (parallel.sharded_odometry wraps this).
+
+    With ``cfg.deskew`` (the A-LOAM DISTORTION=1 TransformToStart the
+    reference ships disabled): both scans are motion-distorted; per
+    re-association round the CURRENT scan's features reproject to its
+    scan start with the LIVE pose estimate (refreshed each round — Picard
+    iteration on the deskew), while the reference scan reprojects once
+    with the warm-start step (the best estimate of ITS within-scan
+    motion under constant velocity). The estimated transform is then the
     With ``cfg.deskew`` (the A-LOAM DISTORTION=1 TransformToStart the
     reference ships disabled): both scans are motion-distorted; per
     re-association round the CURRENT scan's features reproject to its
@@ -308,8 +332,6 @@ def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
     motion under constant velocity). The estimated transform is then the
     true scan-start-to-scan-start step rather than the effective-center
     displacement rigid matching recovers."""
-    ref_corner = scan_last.corner_less_sharp
-    ref_surf = scan_last.surf_less_flat
     if cfg.deskew:
         from msf_loam_tpu.imu.deskew import undistort_from_motion
 
@@ -326,8 +348,8 @@ def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
         # final round where the estimate has converged
         gate_scale = (cfg.corr_gate_relax
                       if rnd < cfg.outer_rounds - 1 else 1.0)
-        q_corner = scan_curr.corner_sharp
-        q_surf = scan_curr.surf_flat
+        q_corner = q_corner0
+        q_surf = q_surf0
         if cfg.deskew:
             q_corner = undistort_from_motion(q_corner, pose, cfg.scan_period)
             q_surf = undistort_from_motion(q_surf, pose, cfg.scan_period)
@@ -339,6 +361,8 @@ def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
         planes = find_planes(q_surf, ref_surf, pose, cfg, gate_scale)
         n_corr = (jnp.sum(edges.valid.astype(jnp.float32))
                   + jnp.sum(planes.valid.astype(jnp.float32)))
+        if axis_name is not None:
+            n_corr = jax.lax.psum(n_corr, axis_name)
 
         def build(p, v):
             eb = icp.edge_residuals(p, edges.points, edges.line_c, edges.line_n,
@@ -349,7 +373,8 @@ def match_scan2scan(scan_last: ScanFeatures, scan_curr: ScanFeatures,
                               gn.huber_weights(pb, cfg.huber_delta)]
 
         out = gn.gauss_newton(build, pose, jnp.zeros(3, jnp.float32),
-                              n_iters=cfg.gn_iterations)
+                              n_iters=cfg.gn_iterations,
+                              axis_name=axis_name)
         # keep the previous estimate if this round found too few matches
         ok_round = n_corr >= cfg.min_correspondences
         pose = jax.tree.map(lambda new, old: jnp.where(ok_round, new, old),

@@ -142,7 +142,7 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                 prev_scan: ScanFeatures, scan: ScanFeatures,
                 pose_c2l: Pose, pose_odom: Pose, pose_o2m: Pose, is_first,
                 query_fn=None, query2_fn=None, query_pair_fn=None,
-                insert_fn=None):
+                insert_fn=None, odometry_fn=None):
     """Lidar-only frame body. The ``*_fn`` hooks swap the map backend —
     the sharded pipeline injects multi-device packed queries and
     owner-routed inserts so the SAME frame program runs dense or
@@ -152,7 +152,11 @@ def _frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     from msf_loam_tpu.slam import voxel_map as vm
 
     oc, mc = cfg.odometry, cfg.mapping
-    odo = odometry_mod.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    if odometry_fn is None:
+        odo = odometry_mod.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    else:
+        # point-axis-sharded matcher (parallel.sharded_odometry)
+        odo = odometry_fn(prev_scan, scan, pose_c2l, oc)
     use = odo.ok & ~is_first & pose_is_finite(odo.pose_curr2last)
     pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
                             odo.pose_curr2last, pose_c2l)
@@ -268,7 +272,7 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
                    prev_p, prev_q, prev_v, gravity,
                    ba=None, bg=None,
                    query_fn=None, query2_fn=None, query_pair_fn=None,
-                   insert_fn=None):
+                   insert_fn=None, odometry_fn=None):
     """The tightly-coupled (post-init) frame as ONE device program:
     extraction + scan-to-scan GN + pair/scan preintegration + IMU pre-solve
     + deskew-aware scan-to-map GN + full deskew + insert. The host only
@@ -278,7 +282,10 @@ def lio_frame_core(cfg: MsfLoamConfig, corner_map, surf_map,
     oc, mc, ic = cfg.odometry, cfg.mapping, cfg.imu
     scan = feat_mod.extract_features(ring_image, scan_time, cfg.features)
 
-    odo = odometry.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    if odometry_fn is None:
+        odo = odometry.match_scan2scan(prev_scan, scan, pose_c2l, oc)
+    else:
+        odo = odometry_fn(prev_scan, scan, pose_c2l, oc)
     use = odo.ok & ~is_first & pose_is_finite(odo.pose_curr2last)
     pose_c2l = jax.tree.map(lambda n, o: jnp.where(use, n, o),
                             odo.pose_curr2last, pose_c2l)

@@ -435,6 +435,11 @@ def _two_level_slots(slots_flat: Array, table_size: int, u_max: int
     rank = jnp.cumsum(flags) - flags                 # 0-based unique rank
     si = u_max - 1
     rank = jnp.minimum(rank, si)
+    # NOTE (ADVICE r4): compact rows between the frame's unique-slot count
+    # and u_max-2 keep this zero init, so the compact gather redundantly
+    # fetches slot 0's slab for them — harmless for correctness, and it
+    # PADS the measured two-level cost at large u_max; the r4 rejection
+    # also held at u_max=1024 where the padding is minimal.
     uslots = jnp.zeros((u_max,), jnp.int32).at[
         jnp.where(flags == 1, rank, u_max)].set(
         jnp.arange(h, dtype=jnp.int32), mode="drop")

@@ -67,7 +67,7 @@ def main():
                   voxel_map.gather_candidates_planar_2l(m, q + x, None,
                                                         u_max=u)[0, 0]))
 
-    # isolate the dedupe machinery (argsort + scatters, no point data)
+    # isolate the dedupe machinery (scatter + cumsum rank, no point data, no point data)
     def dedupe_only(x):
         cells = voxel_map.neighbor_cells8(q + x, m.cell_size)
         s = voxel_map._hash_cells(cells, H).reshape(-1)

@@ -285,8 +285,11 @@ def test_gather_planar_2l_overflow_drops_not_aliases():
     # every two-level entry is either the one-level value or the sentinel
     dropped = two[0] >= EMPTY_COORD * 0.5
     assert dropped.any()          # the tiny budget must actually overflow
+    # dropped entries carry the sentinel in ALL THREE coords (table
+    # invariant), everything else is bit-identical to the one-level gather
+    assert (two[:, dropped] >= EMPTY_COORD * 0.5).all()
     same = (two == one).all(axis=0)
-    assert np.all(same | dropped[None, ...].repeat(3, 0).all(axis=0) | dropped)
+    assert np.all(same | dropped)
 
 
 def test_grouped_gather_bit_identical():
