@@ -345,6 +345,7 @@ def main(argv=None) -> int:
         # messages replay in timestamp order, so processing a scan the
         # moment it appears would always find an empty window.
         pending_scans = []
+        last_scan_t = [-np.inf]
 
         def flush_scans(force=False):
             while pending_scans:
@@ -372,6 +373,17 @@ def main(argv=None) -> int:
                     logger.warning("[MAP] drop lidar frame @%.2f for real "
                                    "time performance", msg.time)
                     continue
+                if msg.time <= last_scan_t[0]:
+                    # out-of-order arrival (network reordering on --listen;
+                    # an unsorted bag heals at npz conversion, but a live
+                    # stream cannot be re-sorted): a backward time step
+                    # would corrupt the IMU window slicing, so drop it
+                    n_dropped += 1
+                    logger.warning("[MAP] drop out-of-order lidar frame "
+                                   "@%.2f (<= %.2f)", msg.time,
+                                   last_scan_t[0])
+                    continue
+                last_scan_t[0] = msg.time
                 if args.max_frames and n_scans >= args.max_frames:
                     continue
                 if len(pipe.imu_buffer):

@@ -249,7 +249,15 @@ def read_messages(path: str, topics: Optional[List[str]] = None,
                 if comp == "none":
                     inner = data
                 elif comp == "bz2":
-                    inner = bz2.decompress(data)
+                    try:
+                        inner = bz2.decompress(data)
+                    except OSError:
+                        # torn write / truncated download: stop at the
+                        # last whole chunk, like a rosbag reindex would
+                        import warnings
+                        warnings.warn(f"corrupt bz2 chunk in {path!r}; "
+                                      "stopping at last intact chunk")
+                        return
                 else:
                     raise ValueError(f"unsupported chunk compression {comp!r}"
                                      " (none|bz2 supported; lz4 requires the"
@@ -380,8 +388,10 @@ _TYPE_INFO = {
 class RosbagWriter:
     """Spec-correct ROS1 bag writer for the three SLAM streams.
 
-    Messages buffer in memory and land in one chunk (optionally bz2) with
-    proper connection / index / chunk-info records at save()."""
+    Messages buffer in memory and land in one or more chunks (optionally
+    bz2 — ``chunk_msgs`` splits into real multi-chunk bags like rosbag's
+    768 KB chunking) with proper connection / index / chunk-info records
+    at save()."""
 
     def __init__(self) -> None:
         self._msgs: List[Tuple[float, int, bytes]] = []   # (t, conn, bytes)
@@ -407,8 +417,14 @@ class RosbagWriter:
         cid = self._conn_id(topic, "nav_msgs/Odometry")
         self._msgs.append((msg.time, cid, serialize_odometry(msg)))
 
-    def save(self, path: str, compression: str = "none") -> None:
-        msgs = sorted(self._msgs, key=lambda m: m[0])
+    def save(self, path: str, compression: str = "none",
+             chunk_msgs: int = 0, sort: bool = True) -> None:
+        """Write the bag. ``chunk_msgs`` > 0 splits messages into chunks of
+        that many (real bags are multi-chunk; 0 = single chunk).
+        ``sort=False`` preserves insertion order — used by robustness
+        fixtures to write genuinely out-of-order bags."""
+        msgs = sorted(self._msgs, key=lambda m: m[0]) if sort \
+            else list(self._msgs)
 
         def conn_record(cid: int) -> bytes:
             topic, mtype = self._conns[cid]
@@ -419,16 +435,9 @@ class RosbagWriter:
             return _record([(b"op", bytes([OP_CONNECTION])),
                             (b"conn", _U32.pack(cid)), (b"topic", tb)], info)
 
-        chunk_body = b"".join(conn_record(c) for c in range(len(self._conns)))
-        index_pos_in_chunk: Dict[int, List[Tuple[float, int]]] = {}
-        for t, cid, data in msgs:
-            index_pos_in_chunk.setdefault(cid, []).append((t, len(chunk_body)))
-            chunk_body += _record([(b"op", bytes([OP_MSG])),
-                                   (b"conn", _U32.pack(cid)),
-                                   (b"time", _time_bytes(t))], data)
-
-        payload = bz2.compress(chunk_body) if compression == "bz2" \
-            else chunk_body
+        n_per = chunk_msgs if chunk_msgs > 0 else max(1, len(msgs))
+        groups = [msgs[i:i + n_per] for i in range(0, len(msgs), n_per)] \
+            or [[]]
 
         out = bytearray()
         out += MAGIC
@@ -436,42 +445,53 @@ class RosbagWriter:
         bh_fields = [(b"op", bytes([OP_BAG_HEADER])),
                      (b"index_pos", _U64.pack(0)),
                      (b"conn_count", _U32.pack(len(self._conns))),
-                     (b"chunk_count", _U32.pack(1))]
+                     (b"chunk_count", _U32.pack(len(groups)))]
         bh_header = b"".join(_field(k, v) for k, v in bh_fields)
         pad = max(0, 4096 - len(bh_header) - 8)
         out += (_U32.pack(len(bh_header)) + bh_header
                 + _U32.pack(pad) + b" " * pad)
-        chunk_pos = len(out)
-        out += _record([(b"op", bytes([OP_CHUNK])),
-                        (b"compression", compression.encode()),
-                        (b"size", _U32.pack(len(chunk_body)))], payload)
-        # index data records (one per connection)
-        for cid, entries in index_pos_in_chunk.items():
-            data = b"".join(_time_bytes(t) + _U32.pack(off)
-                            for t, off in entries)
-            out += _record([(b"op", bytes([OP_INDEX])),
+
+        chunk_infos = []
+        for gi, group in enumerate(groups):
+            # connection records ride in the first chunk (rosbag layout)
+            chunk_body = b"" if gi else b"".join(
+                conn_record(c) for c in range(len(self._conns)))
+            index_pos_in_chunk: Dict[int, List[Tuple[float, int]]] = {}
+            for t, cid, data in group:
+                index_pos_in_chunk.setdefault(cid, []).append(
+                    (t, len(chunk_body)))
+                chunk_body += _record([(b"op", bytes([OP_MSG])),
+                                       (b"conn", _U32.pack(cid)),
+                                       (b"time", _time_bytes(t))], data)
+            payload = bz2.compress(chunk_body) if compression == "bz2" \
+                else chunk_body
+            chunk_pos = len(out)
+            out += _record([(b"op", bytes([OP_CHUNK])),
+                            (b"compression", compression.encode()),
+                            (b"size", _U32.pack(len(chunk_body)))], payload)
+            # index data records after each chunk (one per connection)
+            for cid, entries in index_pos_in_chunk.items():
+                data = b"".join(_time_bytes(t) + _U32.pack(off)
+                                for t, off in entries)
+                out += _record([(b"op", bytes([OP_INDEX])),
+                                (b"ver", _U32.pack(1)),
+                                (b"conn", _U32.pack(cid)),
+                                (b"count", _U32.pack(len(entries)))], data)
+            ts = [t for t, _, _ in group] or [0.0]
+            chunk_infos.append((chunk_pos, min(ts), max(ts),
+                                index_pos_in_chunk))
+
+        index_pos = len(out)
+        for chunk_pos, t0, t1, idx in chunk_infos:
+            ci_data = b"".join(_U32.pack(cid) + _U32.pack(len(e))
+                               for cid, e in idx.items())
+            out += _record([(b"op", bytes([OP_CHUNK_INFO])),
                             (b"ver", _U32.pack(1)),
-                            (b"conn", _U32.pack(cid)),
-                            (b"count", _U32.pack(len(entries)))], data)
-        # chunk info record
-        if msgs:
-            t0, t1 = msgs[0][0], msgs[-1][0]
-        else:
-            t0 = t1 = 0.0
-        ci_data = b"".join(_U32.pack(cid) + _U32.pack(len(e))
-                           for cid, e in index_pos_in_chunk.items())
-        out += _record([(b"op", bytes([OP_CHUNK_INFO])),
-                        (b"ver", _U32.pack(1)),
-                        (b"chunk_pos", _U64.pack(chunk_pos)),
-                        (b"start_time", _time_bytes(t0)),
-                        (b"end_time", _time_bytes(t1)),
-                        (b"count", _U32.pack(len(index_pos_in_chunk)))],
-                       ci_data)
-        # backpatch index_pos in the bag header (records after the chunk)
-        index_pos = chunk_pos + len(_record(
-            [(b"op", bytes([OP_CHUNK])),
-             (b"compression", compression.encode()),
-             (b"size", _U32.pack(len(chunk_body)))], payload))
+                            (b"chunk_pos", _U64.pack(chunk_pos)),
+                            (b"start_time", _time_bytes(t0)),
+                            (b"end_time", _time_bytes(t1)),
+                            (b"count", _U32.pack(len(idx)))], ci_data)
+        # backpatch index_pos in the bag header (chunk-info section start)
         blob = bytes(out)
         ip_field = _field(b"index_pos", _U64.pack(0))
         fixed = blob.replace(ip_field,

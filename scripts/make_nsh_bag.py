@@ -37,7 +37,15 @@ def courtyard_lap():
 def build_nsh_bag(out_path: str, frames: int = 230, rings: int = 16,
                   pts_per_ring: int = 900, speed: float = 1.8,
                   imu_rate: float = 400.0, scan_dt: float = 0.1,
-                  seed: int = 0, compression: str = "bz2") -> dict:
+                  seed: int = 0, compression: str = "bz2",
+                  chunk_msgs: int = 0, drop_scan_every: int = 0,
+                  disorder: bool = False) -> dict:
+    """Build the NSH-style fixture bag. Robustness knobs (r5, VERDICT #8):
+    ``chunk_msgs`` writes a real multi-chunk bag; ``drop_scan_every=k``
+    drops every k-th scan message (driver frame loss); ``disorder`` swaps
+    adjacent record pairs and saves WITHOUT time-sorting, producing
+    genuinely out-of-order record stamps (network reordering) that the
+    npz conversion must heal."""
     from msf_loam_tpu.dataio import synthetic
     from msf_loam_tpu.dataio.npz_bag import ImuMsg, OdomMsg, ScanMsg
     from msf_loam_tpu.dataio.preprocess import compute_relative_time
@@ -79,9 +87,29 @@ def build_nsh_bag(out_path: str, frames: int = 230, rings: int = 16,
         q = np.asarray(matrix_to_quat(R.astype(np.float32)), np.float64)
         w.add_odom(OdomMsg(time=t0 + times[i], t=p.astype(np.float64),
                            q_wxyz=q))
-    w.save(out_path, compression=compression)
+    if drop_scan_every:
+        # drop every k-th SCAN message (topic conn 1 == /velodyne_points,
+        # first add_* call above was IMU so scan conn id is dynamic — drop
+        # by payload type via the connection map)
+        scan_cid = w._topic_conn["/velodyne_points"]
+        kept, si = [], 0
+        for m in w._msgs:
+            if m[1] == scan_cid:
+                si += 1
+                if si % drop_scan_every == 0:
+                    continue
+            kept.append(m)
+        w._msgs = kept
+    if disorder:
+        for j in range(0, len(w._msgs) - 1, 7):
+            w._msgs[j], w._msgs[j + 1] = w._msgs[j + 1], w._msgs[j]
+        w.save(out_path, compression=compression, chunk_msgs=chunk_msgs,
+               sort=False)
+    else:
+        w.save(out_path, compression=compression, chunk_msgs=chunk_msgs)
     dist = float(np.linalg.norm(np.diff(st["p"], axis=0), axis=1).sum())
-    return {"frames": frames, "imu_msgs": len(imu_t),
+    n_scans = frames - (frames // drop_scan_every if drop_scan_every else 0)
+    return {"frames": n_scans, "imu_msgs": len(imu_t),
             "route_m": round(dist, 1), "bytes": os.path.getsize(out_path)}
 
 

@@ -183,3 +183,58 @@ def test_stream_truncated_message_terminates():
     server.close()
     t.join(timeout=10)
     assert got == []
+
+
+def test_stream_out_of_order_scan_dropped(tmp_path):
+    """A live stream cannot be re-sorted: the CLI must drop a scan whose
+    stamp steps backward (network reordering) instead of feeding the IMU
+    window slicer a negative interval (VERDICT r5 #8)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sock = str(tmp_path / "s.sock")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "PYTHONPATH": repo}
+    consumer = subprocess.Popen(
+        [sys.executable, "-m", "msf_loam_tpu.apps.run_slam",
+         "--listen", "unix:" + sock, "--quiet", "--n_rings", "4",
+         "--output_dir", str(tmp_path / "out")],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    import time as _time
+
+    import numpy as np
+
+    from msf_loam_tpu.dataio.npz_bag import ScanMsg
+    from msf_loam_tpu.dataio.stream import StreamWriter
+
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        _time.sleep(0.2)
+    w = StreamWriter("unix:" + sock, connect_timeout=30)
+    rng = np.random.default_rng(0)
+
+    def scan(t):
+        xyz = rng.uniform(1, 5, (4, 256, 3)).astype(np.float32).reshape(-1, 3)
+        ring = np.repeat(np.arange(4, dtype=np.int32), 256)
+        return ScanMsg(time=t, xyz=xyz, ring=ring)
+
+    # t=0.3 arrives after t=0.4: must be dropped, not processed. The
+    # first scan pays the jit compile (~15 s on CPU), so pace the sends
+    # generously — a backlogged scan would be SHED (a different, also
+    # valid, drop path) instead of exercising the monotonicity guard.
+    w.send(scan(0.1))
+    _time.sleep(40.0)          # absorb compile
+    for t in (0.2, 0.4, 0.3, 0.5):
+        w.send(scan(t))
+        _time.sleep(4.0)
+    w.close()
+    out, err = consumer.communicate(timeout=240)
+    assert consumer.returncode == 0, out[-2000:] + err[-2000:]
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert "out-of-order" in err, err[-1500:]
+    assert summary["frames"] == 4, (summary, err[-1000:])
