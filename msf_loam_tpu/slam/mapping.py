@@ -483,8 +483,13 @@ def match_scan2map_tight_core(corner_map, surf_map,
     n_plane = jnp.float32(0.0)
     cost = jnp.float32(0.0)
     # hoisted: depends only on the window, not the GN state — inside the
-    # scan it would re-run the 15x15 inverse+Cholesky every iteration
+    # scan it would re-run the 15x15 inverse+Cholesky every iteration.
+    # r5: the WHOLE state_j-independent half of the factor hoists
+    # (imu_factor_prep) — the in-solve relinearization was 0.59 ms/frame
+    # of small-op latency (scripts/profile_lio_ablate.py)
     sq_info = sqrt_information(pre_pair)
+    imu_prep = imu_factor_mod.imu_factor_prep(pre_pair, prev_state,
+                                              gravity, sqrt_info=sq_info)
 
     map_ok = (corner_map.total_points() > cfg.min_map_corner) & \
              (surf_map.total_points() > cfg.min_map_surf)
@@ -524,11 +529,7 @@ def match_scan2map_tight_core(corner_map, surf_map,
             pb = icp.plane_residuals_deskew(p, v, corr.plane_points,
                                             corr.plane_c, corr.plane_n,
                                             corr.plane_valid, surf_dk)
-            state_j = imu_factor_mod.ImuState(p, v, prev_state.ba,
-                                              prev_state.bg)
-            ib = imu_factor_mod.imu_factor_blocks(pre_pair, prev_state,
-                                                  state_j, gravity,
-                                                  sqrt_info=sq_info)
+            ib = imu_factor_mod.imu_factor_blocks_from_prep(imu_prep, p, v)
             return [eb, pb, ib], [gn.huber_weights(eb, cfg.huber_delta),
                                   gn.huber_weights(pb, cfg.huber_delta),
                                   jnp.full((1,), imu_weight, jnp.float32)]

@@ -345,3 +345,43 @@ def test_assoc_matches_scan():
         np.testing.assert_allclose(a.delta_q_buf, s.delta_q_buf, atol=1e-6)
         np.testing.assert_allclose(a.delta_v_buf, s.delta_v_buf, atol=1e-5)
         assert int(a.n_samples) == int(s.n_samples)
+
+
+def test_imu_factor_prep_matches_full():
+    """The decomposed (frame-constant + per-iteration) IMU factor equals
+    the monolithic imu_factor_blocks when state_j shares state_i's biases
+    (the tight matcher's configuration)."""
+    import numpy as np
+
+    from msf_loam_tpu.config import ImuConfig
+    from msf_loam_tpu.core.se3 import Pose, quat_exp
+    from msf_loam_tpu.imu import imu_factor as f
+    from msf_loam_tpu.imu import preintegration as pi
+
+    rng = np.random.default_rng(3)
+    n = 20
+    dts = jnp.full((n,), 0.005)
+    accs = jnp.asarray(rng.normal([0.1, 0.05, 9.81], 0.05, (n, 3)),
+                       jnp.float32)
+    gyrs = jnp.asarray(rng.normal(0.02, 0.01, (n, 3)), jnp.float32)
+    pre = pi.preintegrate(dts, accs, gyrs, jnp.ones(n, bool),
+                          jnp.zeros(3), jnp.zeros(3), ImuConfig())
+    g = jnp.asarray([0.0, 0.0, -9.81])
+    si = f.ImuState(
+        pose=Pose(jnp.asarray([1.0, -0.5, 0.2]),
+                  quat_exp(jnp.asarray([0.05, -0.02, 0.3]))),
+        v=jnp.asarray([0.5, 0.1, -0.05]),
+        ba=jnp.asarray([0.01, -0.02, 0.005]),
+        bg=jnp.asarray([0.002, 0.001, -0.003]))
+    pj = Pose(jnp.asarray([1.06, -0.48, 0.21]),
+              quat_exp(jnp.asarray([0.06, -0.02, 0.31])))
+    vj = jnp.asarray([0.55, 0.12, -0.04])
+    sj = f.ImuState(pose=pj, v=vj, ba=si.ba, bg=si.bg)
+
+    ref = f.imu_factor_blocks(pre, si, sj, g)
+    prep = f.imu_factor_prep(pre, si, g)
+    got = f.imu_factor_blocks_from_prep(prep, pj, vj)
+    np.testing.assert_allclose(np.asarray(got.r), np.asarray(ref.r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.J), np.asarray(ref.J),
+                               rtol=1e-5, atol=1e-6)
