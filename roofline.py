@@ -95,6 +95,37 @@ def report(n_rings=16, pts_per_ring=1800, file=sys.stderr, write_json=True):
     nbytes = 2 * 3 * Q * C * 4
     rows.append(("octant_gather(Q=%d,P=%d)" % (Q, P), dt, nbytes, 0))
 
+    # --- kernel 1b: grouped two-level octant gather (r5 shipping path) —
+    # queries clustered like a real scan (surfaces), grouped by base cell
+    # via the downsample's 2-key sort, one slab fetch per GROUP
+    from msf_loam_tpu.core.pointcloud import PointBatch
+    from msf_loam_tpu.core.se3 import Pose
+    from msf_loam_tpu.slam.pipeline import downsample_features_grouped
+    centers = rng.uniform(-18, 18, size=(40, 3)).astype(np.float32)
+    cl = (centers[rng.integers(0, 40, 2 * Q)]
+          + rng.normal(0, 1.0, (2 * Q, 3))).astype(np.float32)
+    pbq = PointBatch(xyz=jnp.asarray(cl), rel_time=jnp.zeros(2 * Q),
+                     ring=jnp.zeros(2 * Q, jnp.int32),
+                     mask=jnp.ones(2 * Q, bool))
+    qg, groups = downsample_features_grouped(
+        pbq, float(mcfg.plane_resolution), Q,
+        Pose.identity().apply(pbq.xyz), float(mcfg.map_cell_size),
+        mcfg.gather_groups)
+    G = mcfg.gather_groups
+
+    def gather2_body(carry):
+        x, acc = carry
+        cand = voxel_map.gather_candidates_rows_grouped(
+            m, qg.xyz + x, groups.gid, groups.rep_pos)
+        s = jnp.sum(cand[0, :1]) * eps
+        return (x + s, acc), s
+    dt = _scan_time("grouped 2-level gather", gather2_body,
+                    (jnp.float32(0), jnp.float32(0)))
+    # useful bytes: each GROUP's 8 slabs once + the (Q, 3*8P) expansion
+    nbytes = (G * 8 * P * 3 + 2 * Q * C * 3) * 4
+    rows.append(("grouped_gather(Q=%d,G=%d,P=%d)" % (Q, G, P), dt,
+                 nbytes, 0))
+
     # --- kernel 2: fused selection + fit (Pallas) ---------------------
     candp = voxel_map.gather_candidates_planar(m, q, None)
     cell = m.cell_size
