@@ -113,27 +113,47 @@ def _eigvec(sxx, syy, szz, sxy, sxz, syz, wj, wk):
     return vx, vy, vz
 
 
-def _moments(w, dx, dy, dz):
+def _moments(w, dx, dy, dz, prods=None):
     """Weighted count, mean and CENTERED (unnormalized) second moments of
-    query-relative candidate coordinates. Reductions along lanes (C)."""
+    query-relative candidate coordinates. Reductions along lanes (C).
+
+    With ``prods`` (the shared raw products (xx, yy, zz, xy, xz, yz),
+    already computed for the distance pass), the centered moments come
+    from the raw ones algebraically (S = sum w p p^T - cnt m m^T): the
+    two-scale plane mode then shares ONE product set between its strict
+    and wide weightings instead of recomputing centered products per set
+    (~30% of the kernel's candidate-wide passes — the r4 #2 headroom).
+    Conditioning: query-relative coords are bounded by the gather radius
+    (|d| <= 2 cells), so the raw-vs-centered cancellation costs well
+    under 8 of 24 mantissa bits — centers/normals agree with the
+    centered form to ~1e-5 (tests/test_select_fit tolerances)."""
     cnt = jnp.sum(w, axis=1, keepdims=True)
     cd = 1.0 / jnp.maximum(cnt, 1.0)
     mx = jnp.sum(w * dx, axis=1, keepdims=True) * cd
     my = jnp.sum(w * dy, axis=1, keepdims=True) * cd
     mz = jnp.sum(w * dz, axis=1, keepdims=True) * cd
-    rx, ry, rz = dx - mx, dy - my, dz - mz
-    sxx = jnp.sum(w * rx * rx, axis=1, keepdims=True)
-    syy = jnp.sum(w * ry * ry, axis=1, keepdims=True)
-    szz = jnp.sum(w * rz * rz, axis=1, keepdims=True)
-    sxy = jnp.sum(w * rx * ry, axis=1, keepdims=True)
-    sxz = jnp.sum(w * rx * rz, axis=1, keepdims=True)
-    syz = jnp.sum(w * ry * rz, axis=1, keepdims=True)
+    if prods is None:
+        rx, ry, rz = dx - mx, dy - my, dz - mz
+        sxx = jnp.sum(w * rx * rx, axis=1, keepdims=True)
+        syy = jnp.sum(w * ry * ry, axis=1, keepdims=True)
+        szz = jnp.sum(w * rz * rz, axis=1, keepdims=True)
+        sxy = jnp.sum(w * rx * ry, axis=1, keepdims=True)
+        sxz = jnp.sum(w * rx * rz, axis=1, keepdims=True)
+        syz = jnp.sum(w * ry * rz, axis=1, keepdims=True)
+    else:
+        xx, yy, zz, xy, xz, yz = prods
+        sxx = jnp.sum(w * xx, axis=1, keepdims=True) - cnt * mx * mx
+        syy = jnp.sum(w * yy, axis=1, keepdims=True) - cnt * my * my
+        szz = jnp.sum(w * zz, axis=1, keepdims=True) - cnt * mz * mz
+        sxy = jnp.sum(w * xy, axis=1, keepdims=True) - cnt * mx * my
+        sxz = jnp.sum(w * xz, axis=1, keepdims=True) - cnt * mx * mz
+        syz = jnp.sum(w * yz, axis=1, keepdims=True) - cnt * my * mz
     return cnt, (mx, my, mz), (sxx, syy, szz, sxy, sxz, syz)
 
 
-def _plane_fit(w, dx, dy, dz, min_count, tol, cond_frac):
+def _plane_fit(w, dx, dy, dz, min_count, tol, cond_frac, prods=None):
     """fit_planes_weighted in-register: (valid, center_rel, normal)."""
-    cnt, (mx, my, mz), s = _moments(w, dx, dy, dz)
+    cnt, (mx, my, mz), s = _moments(w, dx, dy, dz, prods)
     w0, w1, _ = _eig3(*s)
     nx, ny, nz = _eigvec(*s, w0, w1)          # smallest eigenvector
     resid = jnp.abs(nx * (dx - mx) + ny * (dy - my) + nz * (dz - mz)) * w
@@ -178,6 +198,14 @@ def _select_fit_core(scal_ref, q_ref, x, y, z,
     dx = x - qx                                         # (Rb, C)
     dy = y - qy
     dz = z - qz
+    # MEASURED AND REJECTED (r5): sharing raw products (xx..yz) across
+    # the distance pass and BOTH two-scale moment sets via the raw-moment
+    # identity (_moments(prods=...)) cuts ~12 candidate-wide passes on
+    # paper, but benched neutral-to-slower on device (16-ring 309.6/310.5
+    # -> 295.0/305.6 across runs): six extra (Rb, C) temporaries stay
+    # live across the whole kernel and the added VMEM pressure offsets
+    # the saved passes. Kept as the prods= option for narrower blocks.
+    prods = None
     d2 = dx * dx + dy * dy + dz * dz
     d2s = jnp.where(d2 <= r2s, d2, _INF)
 
@@ -196,7 +224,7 @@ def _select_fit_core(scal_ref, q_ref, x, y, z,
     w = jnp.where((d2s <= kth) & (d2s < _INF * 0.5), 1.0, 0.0)
 
     if mode == "line":
-        cnt, (mx, my, mz), s = _moments(w, dx, dy, dz)
+        cnt, (mx, my, mz), s = _moments(w, dx, dy, dz, prods)
         w0, w1, w2 = _eig3(*s)
         nx, ny, nz = _eigvec(*s, w1, w2)                 # largest eigvec
         valid = (cnt >= min_count) & (w0 > eig_ratio * w1)
@@ -204,12 +232,12 @@ def _select_fit_core(scal_ref, q_ref, x, y, z,
         nrm = (nx, ny, nz)
     elif mode == "plane":
         valid, cen, nrm, _ = _plane_fit(w, dx, dy, dz, min_count, tol,
-                                        cond_frac)
+                                        cond_frac, prods)
     else:  # plane2 — two-scale fallback
         nvalid, ncen, nnrm, _ = _plane_fit(w, dx, dy, dz, min_count, tol,
-                                           cond_frac)
+                                           cond_frac, prods)
         ww = jnp.where(d2 <= r2w, 1.0, 0.0)
-        cntw, (wmx, wmy, wmz), sw = _moments(ww, dx, dy, dz)
+        cntw, (wmx, wmy, wmz), sw = _moments(ww, dx, dy, dz, prods)
         v0, v1, _ = _eig3(*sw)
         wnx, wny, wnz = _eigvec(*sw, v0, v1)
         rr = jnp.abs(wnx * (dx - wmx) + wny * (dy - wmy) + wnz * (dz - wmz))
